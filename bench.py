@@ -1,0 +1,80 @@
+"""Benchmark harness: simulation steps/sec on the BASELINE config.
+
+Headline metric (BASELINE.json): sim steps/sec at res=1600 with CIP
+advection + SOR Poisson solve (+dye +vorticity confinement, the
+reference's defaults) on one TPU chip. The reference publishes no
+numbers; the driver-set target is ≥60 steps/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Usage: python bench.py [--res 1600] [--scheme cip] [--steps 200] [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=5.0, bc=2):
+    import jax
+
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.models.simulator import make_run_fn
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.state import init_state
+
+    cfg = SimConfig.create(
+        resolution=res, re=1_000_000.0, scheme=scheme, vor_eps=vor_eps, enable_dye=enable_dye
+    )
+    scene = get_scene(bc, res)
+    state = init_state(scene, cfg)
+    run = make_run_fn(cfg)
+
+    # Warmup: compile + a few steps so fields are non-trivial.
+    state = run(state, scene, 10)
+    jax.block_until_ready(state.v)
+
+    t0 = time.perf_counter()
+    state = run(state, scene, steps)
+    jax.block_until_ready(state.v)
+    elapsed = time.perf_counter() - t0
+    return steps / elapsed, state
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--res", type=int, default=1600)
+    parser.add_argument("--scheme", type=str, default="cip", choices=["upwind", "kk", "cip"])
+    parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--all", action="store_true", help="Print a side table of configs")
+    args = parser.parse_args()
+
+    if args.all:
+        for res in (400, 800, 1600):
+            for scheme in ("upwind", "kk", "cip"):
+                rate, _ = bench_config(res, scheme, max(50, args.steps // 4))
+                print(f"# res={res:5d} scheme={scheme:6s}: {rate:9.1f} steps/s", file=sys.stderr)
+
+    rate, state = bench_config(args.res, args.scheme, args.steps)
+
+    import numpy as np
+
+    if np.isnan(np.asarray(state.v)).any():  # a benchmark of NaNs is not a benchmark
+        print(json.dumps({"metric": "steps_per_sec_res1600_cip", "value": 0.0,
+                          "unit": "steps/s", "vs_baseline": 0.0}))
+        return
+
+    target = 60.0  # BASELINE.json: ≥60 steps/s @ res=1600 CIP on one chip
+    print(json.dumps({
+        "metric": f"steps_per_sec_res{args.res}_{args.scheme}",
+        "value": round(rate, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(rate / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

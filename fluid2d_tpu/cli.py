@@ -1,0 +1,152 @@
+"""Command-line interface.
+
+Mirrors the reference CLI's flag surface (``/root/reference/main.py:11-51``)
+and adds what a headless TPU host needs: a bounded step count, frame/PNG
+output instead of a GUI window, checkpointing, and performance logging.
+The reference's interactive keys map to flags: ``s`` (screenshot) →
+``--save-frames``, ``d`` (field dump) → ``--dump-fields`` /
+``--checkpoint``, ``v`` (cycle vis) → ``-vis``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="TPU-native 2D fluid simulator")
+    parser.add_argument("-bc", "--boundary_condition", type=int,
+                        choices=[1, 2, 3, 4, 5, 6], default=1,
+                        help="Boundary condition scene number")
+    parser.add_argument("-re", "--reynolds_num", type=float, default=1_000_000.0,
+                        help="Reynolds number")
+    parser.add_argument("-res", "--resolution", type=int, default=400,
+                        help="Resolution of y-axis (grid is 2·res × res)")
+    parser.add_argument("-dt", "--time_step", type=float, default=0.0,
+                        help="Time step (0 → 0.05/resolution)")
+    parser.add_argument("-vis", "--visualization", type=int,
+                        choices=[0, 1, 2, 3], default=0,
+                        help="0: velocity norm + pressure, 1: pressure, "
+                             "2: vorticity, 3: dye")
+    parser.add_argument("-vc", "--vorticity_confinement", type=float, default=5.0,
+                        help="Vorticity confinement weight; 0.0 disables")
+    parser.add_argument("-scheme", "--advection_scheme", type=str,
+                        choices=["upwind", "kk", "cip"], default="cip",
+                        help="Advection scheme")
+    parser.add_argument("-no_dye", "--no_dye", action="store_true",
+                        help="Disable dye transport")
+    parser.add_argument("-cpu", "--cpu", action="store_true",
+                        help="Force the CPU backend")
+    # --- additions over the reference (headless/TPU operation) ----------
+    parser.add_argument("--steps", type=int, default=1000,
+                        help="Number of simulation steps to run")
+    parser.add_argument("--frame-every", type=int, default=0,
+                        help="Write a PNG frame every N steps (0 = off); "
+                             "the reference renders every 5th step")
+    parser.add_argument("--output", type=str, default="output",
+                        help="Output directory for frames/dumps")
+    parser.add_argument("--dump-fields", action="store_true",
+                        help="Dump v/p(/dye) .npz at the end (reference 'd' key)")
+    parser.add_argument("--checkpoint", type=str, default="",
+                        help="Write a full-state checkpoint here at the end")
+    parser.add_argument("--resume", type=str, default="",
+                        help="Resume from a checkpoint written by --checkpoint")
+    parser.add_argument("--pressure-solver", type=str, choices=["sor", "jacobi"],
+                        default="sor")
+    parser.add_argument("--sor-omega", type=float, default=1.3)
+    parser.add_argument("--pressure-iters", type=int, default=2)
+    parser.add_argument("--log-every", type=int, default=0,
+                        help="Log steps/sec and field diagnostics every N steps")
+    parser.add_argument("--shard", type=int, default=0,
+                        help="Shard the grid over N devices (0 = single device)")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        # Env vars can be overridden by site customization that pre-registers
+        # accelerator backends; setting the config directly always wins as
+        # long as no backend has been touched yet.
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np  # deferred: after backend env is settled
+
+    from fluid2d_tpu.config import SimConfig, default_dt
+    from fluid2d_tpu.models.simulator import FluidSimulator
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.utils.io import fields_to_numpy, write_png
+    from fluid2d_tpu.utils.metrics import diagnostics
+    from fluid2d_tpu.utils.viz import to_image
+
+    dt = args.time_step if args.time_step != 0.0 else None
+    vor_eps = args.vorticity_confinement if args.vorticity_confinement != 0.0 else None
+
+    if args.resume:
+        sim = FluidSimulator.load(args.resume, args.boundary_condition)
+    else:
+        cfg = SimConfig.create(
+            resolution=args.resolution,
+            dt=dt,
+            re=args.reynolds_num,
+            scheme=args.advection_scheme,
+            vor_eps=vor_eps,
+            enable_dye=not args.no_dye,
+            pressure_solver=args.pressure_solver,
+            sor_omega=args.sor_omega,
+            n_pressure_iter=args.pressure_iters,
+        )
+        sim = FluidSimulator(get_scene(args.boundary_condition, args.resolution), cfg)
+
+    if args.shard:
+        from fluid2d_tpu.parallel.sharding import shard_simulator
+
+        shard_simulator(sim, args.shard)
+
+    cfg = sim.cfg
+    print(
+        f"Boundary Condition: {args.boundary_condition}\ndt: {cfg.dt}\nRe: {cfg.re}\n"
+        f"Resolution: {cfg.resolution}\nScheme: {cfg.scheme}\n"
+        f"Vorticity confinement: {cfg.vor_eps}"
+    )
+
+    out_dir = Path(args.output)
+    chunk = args.frame_every or args.log_every or args.steps
+    done = 0
+    frame_idx = 0
+    t0 = time.perf_counter()
+    while done < args.steps:
+        n = min(chunk, args.steps - done)
+        sim.step(n)
+        done += n
+        if args.frame_every:
+            write_png(
+                out_dir / f"frame_{frame_idx:05d}.png",
+                to_image(sim._render(sim.state, sim.scene, args.visualization)),
+            )
+            frame_idx += 1
+        if args.log_every and done % args.log_every == 0:
+            elapsed = time.perf_counter() - t0
+            diag = diagnostics(sim.state, sim.scene, cfg)
+            print(f"step {sim.step_count}: {done / elapsed:8.1f} steps/s  {diag}")
+
+    elapsed = time.perf_counter() - t0
+    np.asarray(sim.state.v)  # sync
+    print(f"ran {done} steps in {elapsed:.2f}s ({done / elapsed:.1f} steps/s)")
+
+    if args.dump_fields:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(out_dir / f"step_{sim.step_count:06d}.npz", **fields_to_numpy(sim.state))
+        print(f"dumped fields to {out_dir}")
+    if args.checkpoint:
+        sim.save(args.checkpoint)
+        print(f"checkpoint written to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

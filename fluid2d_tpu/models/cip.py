@@ -1,0 +1,104 @@
+"""CIP MAC solver: two-phase update with gradient co-advection.
+
+Functional re-design of the reference's ``CipMacSolver`` /
+``DyeCipMacSolver`` (``/root/reference/fs/solver.py:165-401``). Phase
+structure per step:
+
+1. non-advection: pressure + diffusion applied at not-wall cells
+   (inflow/outflow included, unlike the advection phase);
+2. gradient update from the non-advection *change*;
+3. (buffers swap) cubic CIP advection of value+gradients at fluid cells;
+4. optional vorticity confinement, pressure Poisson solve, velocity limit;
+5. dye mode: the same two-phase structure on the 3-channel dye
+   (diffusion-only non-advection phase — dye diffuses with the same Re).
+
+Domain predicates differ deliberately between phases (not-wall vs fluid),
+matching ``fs/solver.py:233,254,279`` vs ``:97,160``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.models.common import update_pressure
+from fluid2d_tpu.ops.cip import (
+    cip_advect,
+    non_advection_diffusion,
+    non_advection_grad,
+    non_advection_velocity,
+)
+from fluid2d_tpu.ops.limiters import clamp_field, limit_vector_norm
+from fluid2d_tpu.ops.vorticity import apply_confinement
+from fluid2d_tpu.scenes.compile import Scene
+from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
+from fluid2d_tpu.state import SimState
+
+__all__ = ["cip_step"]
+
+
+def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
+    """One CIP time step (``CipMacSolver.update``, ``fs/solver.py:192-202``;
+    dye tail: ``DyeCipMacSolver.update``, ``:353-373``)."""
+    dt, dx = cfg.dt, cfg.dx
+    nw = scene.not_wall
+    fl = scene.fluid
+
+    vc = velocity_bc(state.v, scene)
+
+    # --- Phase 1: non-advection (pressure + diffusion) into the alt buffer.
+    v_na = jnp.where(nw, non_advection_velocity(vc, state.p, cfg.re, dt, dx), state.v_alt)
+    gx_cand, gy_cand = non_advection_grad(state.vx, state.vy, vc, v_na, dx)
+    vx_na = jnp.where(nw, gx_cand, state.vx_alt)
+    vy_na = jnp.where(nw, gy_cand, state.vy_alt)
+    # (swap: current = *_na, next = pre-phase current)
+
+    # --- Phase 2: CIP advection at fluid cells, carried by the phase-1
+    # velocity; non-fluid cells of the write buffer keep the pre-phase
+    # values (vc for v — i.e. BC-fresh inflow/outflow survive the step).
+    f_cand, fx_cand, fy_cand = cip_advect(v_na, vx_na, vy_na, v_na[0], v_na[1], dt, dx)
+    v_cur = jnp.where(fl, f_cand, vc)
+    vx_cur = jnp.where(fl, fx_cand, state.vx)
+    vy_cur = jnp.where(fl, fy_cand, state.vy)
+    v_alt, vx_alt, vy_alt = v_na, vx_na, vy_na
+
+    if cfg.vor_eps is not None:
+        v_cur, v_alt = apply_confinement(v_cur, v_alt, fl, dt, cfg.vor_eps, dx)
+
+    p_cur, p_alt = update_pressure(state.p, state.p_alt, v_cur, scene, cfg)
+
+    v_cur = limit_vector_norm(v_cur, cfg.velocity_limit)
+
+    kw = dict(
+        step=state.step + 1,
+        v=v_cur,
+        v_alt=v_alt,
+        vx=vx_cur,
+        vx_alt=vx_alt,
+        vy=vy_cur,
+        vy_alt=vy_alt,
+        p=p_cur,
+        p_alt=p_alt,
+    )
+
+    if cfg.enable_dye:
+        dc = dye_bc(state.dye, scene)
+        d_na = jnp.where(nw, non_advection_diffusion(dc, cfg.re, dt, dx), state.dye_alt)
+        dgx_cand, dgy_cand = non_advection_grad(state.dyex, state.dyey, dc, d_na, dx)
+        dx_na = jnp.where(nw, dgx_cand, state.dyex_alt)
+        dy_na = jnp.where(nw, dgy_cand, state.dyey_alt)
+
+        df_cand, dfx_cand, dfy_cand = cip_advect(d_na, dx_na, dy_na, v_cur[0], v_cur[1], dt, dx)
+        dye_cur = clamp_field(jnp.where(fl, df_cand, dc), 0.0, 1.0)
+        dyex_cur = jnp.where(fl, dfx_cand, state.dyex)
+        dyey_cur = jnp.where(fl, dfy_cand, state.dyey)
+        kw.update(
+            dye=dye_cur,
+            dye_alt=d_na,
+            dyex=dyex_cur,
+            dyex_alt=dx_na,
+            dyey=dyey_cur,
+            dyey_alt=dy_na,
+        )
+
+    return state._replace(**kw)

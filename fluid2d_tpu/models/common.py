@@ -1,0 +1,47 @@
+"""Shared pieces of the time-step models (pressure solve, momentum RHS)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.ops.pressure import jacobi_pressure_iteration, sor_pressure_iteration
+from fluid2d_tpu.ops.stencil import diff2_x, diff2_y, diff_x, diff_y
+from fluid2d_tpu.scenes.compile import Scene
+
+__all__ = ["update_pressure", "pressure_gradient", "laplacian"]
+
+
+def pressure_gradient(p, dx: float):
+    """(∂p/∂x, ∂p/∂y) stacked to (2, X, Y)."""
+    return jnp.stack([diff_x(p, dx), diff_y(p, dx)])
+
+
+def laplacian(f, dx: float):
+    """∇²f with the reference's paired stencils (``fs/solver.py:106,263-265``)."""
+    return diff2_x(f, dx) + diff2_y(f, dx)
+
+
+def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
+    """n_iter pressure iterations with the configured solver
+    (``fs/pressure_updater.py:56-60,86-90``). Returns the new
+    ``(p_cur, p_alt)`` pair."""
+    if cfg.pressure_solver == "sor":
+        one = lambda pair, _: (  # noqa: E731
+            sor_pressure_iteration(*pair, v[0], v[1], scene, cfg.sor_omega, cfg.dt, cfg.dx),
+            None,
+        )
+    else:
+        one = lambda pair, _: (  # noqa: E731
+            jacobi_pressure_iteration(*pair, v[0], v[1], scene, cfg.dt, cfg.dx),
+            None,
+        )
+
+    if cfg.n_pressure_iter <= 4:
+        pair = (p_cur, p_alt)
+        for _ in range(cfg.n_pressure_iter):
+            pair, _ = one(pair, None)
+        return pair
+    pair, _ = jax.lax.scan(one, (p_cur, p_alt), None, length=cfg.n_pressure_iter)
+    return pair

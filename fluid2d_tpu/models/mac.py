@@ -1,0 +1,63 @@
+"""MAC fractional-step solver with upwind / Kawamura-Kuwahara advection.
+
+Functional re-design of the reference's ``MacSolver`` / ``DyeMacSolver``
+(``/root/reference/fs/solver.py:53-162``): the whole time step is one
+fused dataflow — BC re-imposition, the momentum update
+``v += dt·(−(v·∇)v − ∇p + ∇²v/Re)``, optional vorticity confinement, the
+pressure Poisson iterations, the velocity limiter, and (dye mode) passive
+dye advection — compiled by XLA into a handful of fused stencil passes.
+
+Buffer-staleness parity: masked updates write ``where(mask, new, alt)``
+so non-updated cells carry the alternate buffer's stale values exactly
+like the reference's swap scheme (see ``docs/PARITY.md``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.models.common import laplacian, pressure_gradient, update_pressure
+from fluid2d_tpu.ops.advection import advect_kk, advect_upwind
+from fluid2d_tpu.ops.limiters import clamp_field, limit_vector_norm
+from fluid2d_tpu.ops.vorticity import apply_confinement
+from fluid2d_tpu.scenes.compile import Scene
+from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
+from fluid2d_tpu.state import SimState
+
+__all__ = ["mac_step"]
+
+_ADVECT = {"upwind": advect_upwind, "kk": advect_kk}
+
+
+def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
+    """One MAC time step (``MacSolver.update``, ``fs/solver.py:79-89``;
+    dye tail: ``DyeMacSolver.update``, ``:136-152``)."""
+    advect = _ADVECT[cfg.scheme]
+    dt, dx = cfg.dt, cfg.dx
+
+    # Velocity BC on the current buffer, then the fused momentum update
+    # writes fluid cells of the alternate buffer; swap.
+    vc = velocity_bc(state.v, scene)
+    rhs = -advect(vc[0], vc[1], vc, dx) - pressure_gradient(state.p, dx) + laplacian(vc, dx) / cfg.re
+    v_cur = jnp.where(scene.fluid, vc + dt * rhs, state.v_alt)
+    v_alt = vc
+
+    if cfg.vor_eps is not None:
+        v_cur, v_alt = apply_confinement(v_cur, v_alt, scene.fluid, dt, cfg.vor_eps, dx)
+
+    p_cur, p_alt = update_pressure(state.p, state.p_alt, v_cur, scene, cfg)
+
+    v_cur = limit_vector_norm(v_cur, cfg.velocity_limit)
+
+    kw = dict(step=state.step + 1, v=v_cur, v_alt=v_alt, p=p_cur, p_alt=p_alt)
+
+    if cfg.enable_dye:
+        # Pure advection of the dye by the limited velocity, then a global
+        # clamp to [0, 1] on the current buffer only.
+        dc = dye_bc(state.dye, scene)
+        dn = dc - dt * advect(v_cur[0], v_cur[1], dc, dx)
+        dye_cur = clamp_field(jnp.where(scene.fluid, dn, state.dye_alt), 0.0, 1.0)
+        kw.update(dye=dye_cur, dye_alt=dc)
+
+    return state._replace(**kw)

@@ -1,0 +1,143 @@
+"""High-level simulator façade.
+
+API parity with the reference's ``FluidSimulator`` / ``DyeFluidSimulator``
+(``/root/reference/fs/fluid_simulator.py:13-176``) plus the capabilities a
+TPU-resident library needs: multi-step jitted runs (``lax.scan``, zero
+host round-trips per step), full-state checkpoint/resume, and optional
+grid sharding over a device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.models.cip import cip_step
+from fluid2d_tpu.models.mac import mac_step
+from fluid2d_tpu.scenes.compile import Scene, get_scene
+from fluid2d_tpu.state import SimState, init_state
+from fluid2d_tpu.utils import io as fio
+from fluid2d_tpu.utils.viz import render_rgb, to_image
+
+__all__ = ["FluidSimulator", "make_step_fn", "make_run_fn"]
+
+
+def step_fn_for(cfg: SimConfig):
+    """The raw (state, scene) → state step for `cfg` (untraced)."""
+    base = cip_step if cfg.scheme == "cip" else mac_step
+    return functools.partial(base, cfg=cfg)
+
+
+def make_step_fn(cfg: SimConfig):
+    """Jitted single step. Donates the state so buffers update in place."""
+    step = step_fn_for(cfg)
+    return jax.jit(lambda state, scene: step(state, scene), donate_argnums=0)
+
+
+def make_run_fn(cfg: SimConfig):
+    """Jitted (state, scene, n) → state running n steps via ``lax.scan``
+    with no host synchronization (n is static)."""
+    step = step_fn_for(cfg)
+
+    @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+    def run(state, scene, n: int):
+        def body(st, _):
+            return step(st, scene), None
+
+        final, _ = jax.lax.scan(body, state, None, length=n)
+        return final
+
+    return run
+
+
+class FluidSimulator:
+    """Drop-in capability match for the reference façade.
+
+    ``create`` mirrors ``fs/fluid_simulator.py:60-108,128-176`` (scene
+    wiring, SOR ω=1.3 / n_iter=2 defaults, scheme selection); the
+    ``get_*_field`` methods reproduce its render kernels. ``enable_dye``
+    replaces the separate ``DyeFluidSimulator`` subclass.
+    """
+
+    def __init__(self, scene: Scene, cfg: SimConfig, state: SimState | None = None):
+        self.scene = scene
+        self.cfg = cfg
+        self.state = init_state(scene, cfg) if state is None else state
+        self._run = make_run_fn(cfg)
+        self._render = jax.jit(
+            lambda state, scene, vis: render_rgb(state, scene, cfg, vis), static_argnums=2
+        )
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        bc_num: int,
+        resolution: int,
+        dt: float | None = None,
+        re: float = 1_000_000.0,
+        vor_eps: float | None = 5.0,
+        scheme: str = "cip",
+        enable_dye: bool = True,
+        **config_overrides,
+    ) -> "FluidSimulator":
+        cfg = SimConfig.create(
+            resolution=resolution,
+            dt=dt,
+            re=re,
+            scheme=scheme,
+            vor_eps=vor_eps,
+            enable_dye=enable_dye,
+            **config_overrides,
+        )
+        return cls(get_scene(bc_num, resolution), cfg)
+
+    # -- stepping ----------------------------------------------------------
+    def step(self, n: int = 1) -> None:
+        """Advance n steps on device (one compiled scan, no host syncs)."""
+        self.state = self._run(self.state, self.scene, n)
+
+    def reset(self) -> None:
+        """Zero all fields (the reference's unused ``DoubleBuffer.reset``
+        capability, ``fs/double_buffer.py:16``)."""
+        self.state = init_state(self.scene, self.cfg)
+
+    @property
+    def step_count(self) -> int:
+        return int(self.state.step)
+
+    # -- rendering (parity with fs/fluid_simulator.py:22-32,113-115) --------
+    def get_norm_field(self) -> np.ndarray:
+        return np.asarray(self._render(self.state, self.scene, 0))
+
+    def get_pressure_field(self) -> np.ndarray:
+        return np.asarray(self._render(self.state, self.scene, 1))
+
+    def get_vorticity_field(self) -> np.ndarray:
+        return np.asarray(self._render(self.state, self.scene, 2))
+
+    def get_dye_field(self) -> np.ndarray:
+        return np.asarray(self._render(self.state, self.scene, 3))
+
+    def screenshot(self, path: str | Path, vis: int = 0) -> None:
+        """Render and write a PNG (the reference's ``s`` key,
+        ``main.py:124-128``)."""
+        fio.write_png(path, to_image(self._render(self.state, self.scene, vis)))
+
+    # -- IO ------------------------------------------------------------------
+    def field_to_numpy(self) -> dict[str, np.ndarray]:
+        return fio.fields_to_numpy(self.state)
+
+    def save(self, path: str | Path) -> None:
+        fio.save_checkpoint(path, self.state, self.cfg)
+
+    @classmethod
+    def load(cls, path: str | Path, bc_num: int) -> "FluidSimulator":
+        """Exact resume from a full-state checkpoint (capability the
+        reference lacks)."""
+        state, cfg = fio.load_checkpoint(path)
+        return cls(get_scene(bc_num, cfg.resolution), cfg, state=state)

@@ -1,0 +1,68 @@
+"""Checkpointing, field dumps, and image output.
+
+The reference can only *dump* (``main.py:129-132`` saves v/p/dye on a
+keypress — omitting the CIP gradient fields, so a dump cannot restart a
+CIP run). Here checkpoints serialize the full state pytree (every buffer
+pair + step counter + config), enabling exact resume; `fields_to_numpy`
+reproduces the reference's dump layout for cross-checking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.state import SimState
+
+__all__ = ["fields_to_numpy", "save_checkpoint", "load_checkpoint", "write_png"]
+
+
+def fields_to_numpy(state: SimState) -> dict[str, np.ndarray]:
+    """Reference-layout field dump (``fs/fluid_simulator.py:34-36,117-119``):
+    v → (X, Y, 2), p → (X, Y), dye → (X, Y, 3) when present."""
+    out = {
+        "v": np.moveaxis(np.asarray(state.v), 0, -1),
+        "p": np.asarray(state.p),
+    }
+    if state.dye is not None:
+        out["dye"] = np.moveaxis(np.asarray(state.dye), 0, -1)
+    return out
+
+
+def save_checkpoint(path: str | Path, state: SimState, cfg: SimConfig) -> None:
+    """Full-state checkpoint: every pytree leaf + the config as JSON."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {
+        name: np.asarray(leaf) for name, leaf in zip(state._fields, state) if leaf is not None
+    }
+    arrays["__config__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str | Path) -> tuple[SimState, SimConfig]:
+    """Restore a checkpoint written by :func:`save_checkpoint`."""
+    import jax.numpy as jnp
+
+    with np.load(Path(path)) as data:
+        cfg_dict = json.loads(bytes(data["__config__"].tobytes()).decode())
+        cfg = SimConfig(**cfg_dict)
+        leaves = {
+            name: jnp.asarray(data[name]) for name in SimState._fields if name in data.files
+        }
+    return SimState(**leaves), cfg
+
+
+def write_png(path: str | Path, image: np.ndarray) -> None:
+    """Write a uint8 H×W×3 image (see :func:`fluid2d_tpu.utils.viz.to_image`)."""
+    from PIL import Image
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(image).save(path)

@@ -1,0 +1,58 @@
+"""Sharded ≡ single-device equivalence on the 8-virtual-device CPU mesh
+(SURVEY.md §4.4): spatial domain decomposition must not change results
+beyond FP reduction reordering (here: bitwise, since steps contain no
+cross-shard reductions — only halo-exchange reads)."""
+
+import jax
+import numpy as np
+import pytest
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.models.simulator import make_run_fn, step_fn_for
+from fluid2d_tpu.parallel.sharding import make_mesh, shard_pytree
+from fluid2d_tpu.scenes.compile import get_scene
+from fluid2d_tpu.scenes.scenes import build_scene_arrays
+from fluid2d_tpu.state import init_state
+from tests.test_parity import _random_fields, _seed_state
+
+
+@pytest.mark.parametrize("scheme", ["kk", "cip"])
+def test_sharded_matches_single_device(scheme):
+    res = 32  # grid (64, 32): X=64 divides 8
+    cfg = SimConfig.create(resolution=res, re=1000.0, scheme=scheme,
+                           vor_eps=5.0, enable_dye=True)
+    _, mask, _ = build_scene_arrays(2, res)
+    scene = get_scene(2, res)
+    # Smooth random init: avoids the vorticity-confinement 0/0 NaN branch,
+    # whose discontinuity amplifies FP reordering to O(0.1) (PARITY.md §4)
+    # — single- vs multi-device fusion boundaries reorder FP like any
+    # other recompilation would.
+    fields = _random_fields(mask, True, scheme == "cip", seed=11)
+    state = _seed_state(init_state(scene, cfg), fields)
+    run = make_run_fn(cfg)
+
+    ref = run(state, scene, 8)
+
+    mesh = make_mesh(8)
+    state_s = shard_pytree(_seed_state(init_state(scene, cfg), fields), mesh)
+    scene_s = shard_pytree(scene, mesh)
+    got = run(state_s, scene_s, 8)
+
+    for name, a, b in zip(ref._fields, ref, got):
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0, err_msg=name)
+
+
+def test_sharded_output_keeps_sharding():
+    res = 32
+    cfg = SimConfig.create(resolution=res, scheme="upwind", vor_eps=None, enable_dye=False)
+    scene = get_scene(1, res)
+    mesh = make_mesh(8)
+    state = shard_pytree(init_state(scene, cfg), mesh)
+    scene_s = shard_pytree(scene, mesh)
+    out = jax.jit(step_fn_for(cfg))(state, scene_s)
+    shard_counts = {len(out.v.sharding.device_set)}
+    assert shard_counts == {8}, out.v.sharding
