@@ -33,13 +33,22 @@ def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=
     state = init_state(scene, cfg)
     run = make_run_fn(cfg)
 
-    # Warmup: compile + a few steps so fields are non-trivial.
-    state = run(state, scene, 10)
-    jax.block_until_ready(state.v)
+    import numpy as np
+
+    def sync(st):
+        # A real device→host transfer: block_until_ready alone does not
+        # reliably fence execution through remote-runtime tunnels.
+        return float(np.asarray(st.v[0, 0, 0]))
+
+    # Warmup with the SAME static step count so the timed call reuses the
+    # compiled executable (scan length is a static argument — a different
+    # n would recompile inside the timing).
+    state = run(state, scene, steps)
+    sync(state)
 
     t0 = time.perf_counter()
     state = run(state, scene, steps)
-    jax.block_until_ready(state.v)
+    sync(state)
     elapsed = time.perf_counter() - t0
     return steps / elapsed, state
 

@@ -38,6 +38,9 @@ class SimConfig:
     sor_omega: float = 1.3
     n_pressure_iter: int = 2
     velocity_limit: float = VELOCITY_LIMIT
+    # "auto": fused Pallas kernels on TPU, plain XLA elsewhere;
+    # "pallas" / "xla" force a path; "pallas_interpret" for CPU testing.
+    kernels: str = "auto"
 
     @staticmethod
     def create(
@@ -51,6 +54,7 @@ class SimConfig:
         sor_omega: float = 1.3,
         n_pressure_iter: int = 2,
         velocity_limit: float = VELOCITY_LIMIT,
+        kernels: str = "auto",
     ) -> "SimConfig":
         """Mirror of the reference CLI's derived parameters
         (``main.py:56,63``): dt defaults to 0.05/res, dx = 1/res,
@@ -75,4 +79,5 @@ class SimConfig:
             sor_omega=sor_omega,
             n_pressure_iter=n_pressure_iter,
             velocity_limit=velocity_limit,
+            kernels=kernels,
         )

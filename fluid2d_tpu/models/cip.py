@@ -29,12 +29,40 @@ from fluid2d_tpu.ops.cip import (
     non_advection_velocity,
 )
 from fluid2d_tpu.ops.limiters import clamp_field, limit_vector_norm
+from fluid2d_tpu.ops.pallas_stencil import cip_advect_pallas, pick_tile
 from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
 
 __all__ = ["cip_step"]
+
+
+def _use_pallas(cfg: SimConfig, x_rows: int) -> bool:
+    if cfg.kernels == "xla":
+        return False
+    if cfg.kernels in ("pallas", "pallas_interpret"):
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu" and pick_tile(x_rows) is not None
+
+
+def _advect_phase(f_na, gx_na, gy_na, u, w, alt_f, alt_gx, alt_gy, scene, cfg):
+    """CIP advection at fluid cells, non-fluid from the alternate buffer —
+    fused Pallas kernel on TPU, jnp composition elsewhere."""
+    if _use_pallas(cfg, f_na.shape[-2]):
+        return cip_advect_pallas(
+            f_na, gx_na, gy_na, u, w, alt_f, alt_gx, alt_gy, scene.fluid8,
+            cfg.dt, cfg.dx, interpret=(cfg.kernels == "pallas_interpret"),
+        )
+    f_cand, gx_cand, gy_cand = cip_advect(f_na, gx_na, gy_na, u, w, cfg.dt, cfg.dx)
+    fl = scene.fluid
+    return (
+        jnp.where(fl, f_cand, alt_f),
+        jnp.where(fl, gx_cand, alt_gx),
+        jnp.where(fl, gy_cand, alt_gy),
+    )
 
 
 def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
@@ -56,10 +84,9 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     # --- Phase 2: CIP advection at fluid cells, carried by the phase-1
     # velocity; non-fluid cells of the write buffer keep the pre-phase
     # values (vc for v — i.e. BC-fresh inflow/outflow survive the step).
-    f_cand, fx_cand, fy_cand = cip_advect(v_na, vx_na, vy_na, v_na[0], v_na[1], dt, dx)
-    v_cur = jnp.where(fl, f_cand, vc)
-    vx_cur = jnp.where(fl, fx_cand, state.vx)
-    vy_cur = jnp.where(fl, fy_cand, state.vy)
+    v_cur, vx_cur, vy_cur = _advect_phase(
+        v_na, vx_na, vy_na, v_na[0], v_na[1], vc, state.vx, state.vy, scene, cfg
+    )
     v_alt, vx_alt, vy_alt = v_na, vx_na, vy_na
 
     if cfg.vor_eps is not None:
@@ -88,10 +115,10 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
         dx_na = jnp.where(nw, dgx_cand, state.dyex_alt)
         dy_na = jnp.where(nw, dgy_cand, state.dyey_alt)
 
-        df_cand, dfx_cand, dfy_cand = cip_advect(d_na, dx_na, dy_na, v_cur[0], v_cur[1], dt, dx)
-        dye_cur = clamp_field(jnp.where(fl, df_cand, dc), 0.0, 1.0)
-        dyex_cur = jnp.where(fl, dfx_cand, state.dyex)
-        dyey_cur = jnp.where(fl, dfy_cand, state.dyey)
+        dye_adv, dyex_cur, dyey_cur = _advect_phase(
+            d_na, dx_na, dy_na, v_cur[0], v_cur[1], dc, state.dyex, state.dyey, scene, cfg
+        )
+        dye_cur = clamp_field(dye_adv, 0.0, 1.0)
         kw.update(
             dye=dye_cur,
             dye_alt=d_na,

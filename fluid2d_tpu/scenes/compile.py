@@ -52,6 +52,7 @@ class Scene(NamedTuple):
     even_fluid: jnp.ndarray
     vbc_targets: jnp.ndarray  # (4, X, Y) bool ghost-velocity target masks
     pbc_code: jnp.ndarray  # (X, Y) int8 pressure pattern code 0..10
+    fluid8: jnp.ndarray  # (X, Y) int8 fluid mask (Pallas kernels' layout)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -160,6 +161,7 @@ def compile_scene(bc: np.ndarray, bc_mask: np.ndarray, bc_dye: np.ndarray) -> Sc
         even_fluid=jnp.asarray(fluid & ~parity),
         vbc_targets=jnp.asarray(_velocity_ghost_targets(mask)),
         pbc_code=jnp.asarray(_pressure_codes(mask)),
+        fluid8=jnp.asarray(fluid.astype(np.int8)),
     )
 
 

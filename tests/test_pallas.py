@@ -1,0 +1,92 @@
+"""Pallas kernels (interpret mode) vs the jnp reference path."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from fluid2d_tpu.ops.cip import cip_advect
+from fluid2d_tpu.ops.pallas_stencil import cip_advect_pallas, pick_tile
+
+RNG = np.random.default_rng(9)
+
+
+def _mk(*shape):
+    return jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize("chans", [2, 3])
+@pytest.mark.parametrize("tile", [8, 16])
+def test_cip_advect_pallas_matches_jnp(chans, tile):
+    X, Y = 48, 20
+    dt, dx = 0.002, 0.05
+    f, fx, fy = _mk(chans, X, Y), _mk(chans, X, Y), _mk(chans, X, Y)
+    u, w = _mk(X, Y), _mk(X, Y)
+    alts = [_mk(chans, X, Y) for _ in range(3)]
+    fluid = RNG.random((X, Y)) > 0.3
+    fluid8 = jnp.asarray(fluid, jnp.int8)
+
+    ref = cip_advect(f, fx, fy, u, w, dt, dx)
+    ref = [np.asarray(jnp.where(fluid, r, a)) for r, a in zip(ref, alts)]
+    got = cip_advect_pallas(f, fx, fy, u, w, *alts, fluid8, dt, dx,
+                            tile_x=tile, interpret=True)
+    for name, g, r in zip(("fn", "fxn", "fyn"), got, ref):
+        scale = max(1.0, np.abs(r).max())
+        np.testing.assert_allclose(np.asarray(g), r, atol=1e-5 * scale, rtol=0, err_msg=name)
+
+
+def test_cip_advect_pallas_upwind_boundaries():
+    """Velocity signs force reads across the tile and grid edges in every
+    direction; the clamp handling at first/last tiles must match."""
+    X, Y = 32, 12
+    dt, dx = 0.01, 0.1
+    f, fx, fy = _mk(2, X, Y), _mk(2, X, Y), _mk(2, X, Y)
+    # Alternating sign bands crossing tile boundaries.
+    u = jnp.asarray(np.tile(np.repeat([1.0, -1.0], 4), X // 8)[:, None] * np.ones((X, Y)),
+                    jnp.float32)
+    w = -u
+    alts = [jnp.zeros((2, X, Y), jnp.float32) for _ in range(3)]
+    fluid8 = jnp.ones((X, Y), jnp.int8)
+
+    ref = cip_advect(f, fx, fy, u, w, dt, dx)
+    got = cip_advect_pallas(f, fx, fy, u, w, *alts, fluid8, dt, dx,
+                            tile_x=8, interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5, rtol=1e-5)
+
+
+def test_pick_tile():
+    assert pick_tile(3200) is not None and 3200 % pick_tile(3200) == 0
+    assert pick_tile(40) == 8
+    assert pick_tile(800) is not None and 800 % pick_tile(800) == 0
+    assert pick_tile(10) is None  # pathological → jnp fallback
+
+
+def test_full_step_pallas_interpret_matches_xla():
+    """One full CIP step with kernels='pallas_interpret' vs 'xla' on CPU."""
+    import jax
+
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.models.simulator import step_fn_for
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.state import init_state
+    from tests.test_parity import _random_fields, _seed_state
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    res = 16  # grid (32, 16); tile 8
+    _, mask, _ = build_scene_arrays(1, res)
+    scene = get_scene(1, res)
+    fields = _random_fields(mask, True, True, seed=4)
+
+    outs = {}
+    for kern in ("xla", "pallas_interpret"):
+        cfg = SimConfig.create(resolution=res, re=100.0, scheme="cip",
+                               vor_eps=5.0, enable_dye=True, kernels=kern)
+        state = _seed_state(init_state(scene, cfg), fields)
+        outs[kern] = jax.jit(step_fn_for(cfg))(state, scene)
+
+    for name, a, b in zip(outs["xla"]._fields, outs["xla"], outs["pallas_interpret"]):
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0, err_msg=name)
