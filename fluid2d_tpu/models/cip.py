@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from fluid2d_tpu.config import SimConfig
-from fluid2d_tpu.models.common import update_pressure
+from fluid2d_tpu.models.common import update_pressure, use_pallas
 from fluid2d_tpu.ops.cip import (
     cip_advect,
     non_advection_diffusion,
@@ -29,7 +29,7 @@ from fluid2d_tpu.ops.cip import (
     non_advection_velocity,
 )
 from fluid2d_tpu.ops.limiters import clamp_field, limit_vector_norm
-from fluid2d_tpu.ops.pallas_stencil import cip_advect_pallas, pick_tile
+from fluid2d_tpu.ops.pallas_stencil import cip_advect_pallas
 from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
@@ -38,25 +38,17 @@ from fluid2d_tpu.state import SimState
 __all__ = ["cip_step"]
 
 
-def _use_pallas(cfg: SimConfig, x_rows: int) -> bool:
-    if cfg.kernels == "xla":
-        return False
-    if cfg.kernels in ("pallas", "pallas_interpret"):
-        return True
-    import jax
-
-    return jax.default_backend() == "tpu" and pick_tile(x_rows) is not None
-
-
-def _advect_phase(f_na, gx_na, gy_na, u, w, alt_f, alt_gx, alt_gy, scene, cfg):
+def _advect_phase(f_na, gx_na, gy_na, vel, alt_f, alt_gx, alt_gy, scene, cfg):
     """CIP advection at fluid cells, non-fluid from the alternate buffer —
-    fused Pallas kernel on TPU, jnp composition elsewhere."""
-    if _use_pallas(cfg, f_na.shape[-2]):
+    fused Pallas kernel on TPU, jnp composition elsewhere. `vel` is the
+    (2, X, Y) carrying velocity (pass ``f_na`` itself for self-advection
+    so the kernel skips the duplicate fetch)."""
+    if use_pallas(cfg, f_na.shape[-2]):
         return cip_advect_pallas(
-            f_na, gx_na, gy_na, u, w, alt_f, alt_gx, alt_gy, scene.fluid8,
+            f_na, gx_na, gy_na, vel, alt_f, alt_gx, alt_gy, scene.fluid8,
             cfg.dt, cfg.dx, interpret=(cfg.kernels == "pallas_interpret"),
         )
-    f_cand, gx_cand, gy_cand = cip_advect(f_na, gx_na, gy_na, u, w, cfg.dt, cfg.dx)
+    f_cand, gx_cand, gy_cand = cip_advect(f_na, gx_na, gy_na, vel[0], vel[1], cfg.dt, cfg.dx)
     fl = scene.fluid
     return (
         jnp.where(fl, f_cand, alt_f),
@@ -85,7 +77,7 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     # velocity; non-fluid cells of the write buffer keep the pre-phase
     # values (vc for v — i.e. BC-fresh inflow/outflow survive the step).
     v_cur, vx_cur, vy_cur = _advect_phase(
-        v_na, vx_na, vy_na, v_na[0], v_na[1], vc, state.vx, state.vy, scene, cfg
+        v_na, vx_na, vy_na, v_na, vc, state.vx, state.vy, scene, cfg
     )
     v_alt, vx_alt, vy_alt = v_na, vx_na, vy_na
 
@@ -116,7 +108,7 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
         dy_na = jnp.where(nw, dgy_cand, state.dyey_alt)
 
         dye_adv, dyex_cur, dyey_cur = _advect_phase(
-            d_na, dx_na, dy_na, v_cur[0], v_cur[1], dc, state.dyex, state.dyey, scene, cfg
+            d_na, dx_na, dy_na, v_cur, dc, state.dyex, state.dyey, scene, cfg
         )
         dye_cur = clamp_field(dye_adv, 0.0, 1.0)
         kw.update(

@@ -1,4 +1,5 @@
-"""Shared pieces of the time-step models (pressure solve, momentum RHS)."""
+"""Shared pieces of the time-step models (pressure solve, momentum RHS,
+kernel-path dispatch)."""
 
 from __future__ import annotations
 
@@ -6,11 +7,21 @@ import jax
 import jax.numpy as jnp
 
 from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.ops.pallas_stencil import pick_tile, sor_iteration_pallas
 from fluid2d_tpu.ops.pressure import jacobi_pressure_iteration, sor_pressure_iteration
 from fluid2d_tpu.ops.stencil import diff2_x, diff2_y, diff_x, diff_y
 from fluid2d_tpu.scenes.compile import Scene
 
-__all__ = ["update_pressure", "pressure_gradient", "laplacian"]
+__all__ = ["update_pressure", "pressure_gradient", "laplacian", "use_pallas"]
+
+
+def use_pallas(cfg: SimConfig, x_rows: int) -> bool:
+    """Whether to route a phase through the fused Pallas kernels."""
+    if cfg.kernels == "xla":
+        return False
+    if cfg.kernels in ("pallas", "pallas_interpret"):
+        return True
+    return jax.default_backend() == "tpu" and pick_tile(x_rows) is not None
 
 
 def pressure_gradient(p, dx: float):
@@ -27,7 +38,16 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     """n_iter pressure iterations with the configured solver
     (``fs/pressure_updater.py:56-60,86-90``). Returns the new
     ``(p_cur, p_alt)`` pair."""
-    if cfg.pressure_solver == "sor":
+    if cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2]):
+        one = lambda pair, _: (  # noqa: E731
+            sor_iteration_pallas(
+                *pair, v[0], v[1], scene.pbc_code, scene.fluid8,
+                cfg.sor_omega, cfg.dt, cfg.dx,
+                interpret=(cfg.kernels == "pallas_interpret"),
+            ),
+            None,
+        )
+    elif cfg.pressure_solver == "sor":
         one = lambda pair, _: (  # noqa: E731
             sor_pressure_iteration(*pair, v[0], v[1], scene, cfg.sor_omega, cfg.dt, cfg.dx),
             None,

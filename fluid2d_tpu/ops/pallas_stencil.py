@@ -3,28 +3,32 @@
 Why: the pure-jnp step compiles to ~29 XLA fusions with ~1.5 GB of
 materialized temporaries per step at res=1600 — every fusion boundary
 costs a full HBM round trip. These kernels fuse an entire phase (all of
-CIP advection with its masked buffer composition, …) into ONE pass:
+CIP advection with its masked buffer composition; a full red-black SOR
+iteration including its boundary re-imposition; …) into ONE pass:
 intermediate algebra lives in VMEM/registers instead of HBM.
 
-Design (per kernel):
+Design:
 
-* The grid tiles the X (sublane) axis; ``tile_x`` must divide X (callers
-  pick a good divisor — grids here are 2·res × res so one always
-  exists; otherwise they fall back to the jnp path).
-* Row halos use the **three-block trick**: each stencil input is passed
-  three times with block index maps ``i-1, i, i+1`` (clamped), so the
-  kernel sees the previous/current/next tile and assembles ±1-row
-  shifted views in VMEM. Grid-edge tiles replicate their own edge row,
-  reproducing the framework's clamp-to-edge semantics. This rides the
-  standard Pallas pipeline (auto double-buffered DMA) and has no
-  alignment constraints on the lane dimension — unlike manual
-  ``make_async_copy`` row-slices, which Mosaic requires to be
-  (8, 128)-aligned and which a 1600-wide grid cannot satisfy.
+* The grid tiles the X (sublane) axis; ``tile_x`` must divide X and be
+  a multiple of 8 (callers pick one via :func:`pick_tile`; grids here
+  are 2·res × res so a good divisor always exists — otherwise the
+  models fall back to the jnp path).
+* Row halos: each stencil input is passed as a **(cur, prev8, next8)
+  triple** — the (t, Y) tile plus one 8-row block from each neighbor
+  (index maps clamp at the grid ends). :func:`_ext` concatenates them
+  into a (t+2h, Y) extended window, replicating the true edge row at
+  the first/last tile — exactly the framework's clamp-to-edge
+  semantics. Re-read overhead is 16/t rows instead of the 2× of a
+  naive prev/cur/next-tile scheme. (Manual ``make_async_copy`` row
+  slices would avoid even that, but Mosaic requires (8,128)-aligned
+  slice shapes and a 1600-wide lane dimension cannot satisfy them.)
 * Column (lane) halos never touch HBM: shifted-column views are built
   in-VMEM with edge-column concatenation (``_sy``).
+* Channel dimensions are folded into the blocks ((C, t, Y)), so
+  carrying velocity is fetched once per tile, not once per channel.
 
-Numerics are identical to the jnp reference path (same expression
-structure; verified in interpret mode by tests/test_pallas.py).
+Numerics match the jnp reference path expression-for-expression
+(verified in interpret mode by tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -36,13 +40,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pick_tile", "cip_advect_pallas"]
+__all__ = ["pick_tile", "cip_advect_pallas", "sor_iteration_pallas"]
+
+_HB = 8  # side-halo block rows (Mosaic's sublane tile)
 
 
-def pick_tile(x: int, preferred: int = 64) -> int | None:
-    """Largest divisor of `x` that is ≤ preferred, a multiple of 8, and
-    leaves ≥ 2 tiles (so prev/next blocks exist). None if X is
-    pathological — caller falls back to the jnp path."""
+def pick_tile(x: int, preferred: int = 128) -> int | None:
+    """Largest multiple-of-8 divisor of `x` that is ≤ preferred, with
+    ≥ 2 tiles (so neighbor blocks exist). None → caller falls back to
+    the jnp path."""
     top = (min(preferred, x // 2) // 8) * 8
     for t in range(top, 7, -8):
         if x % t == 0:
@@ -50,175 +56,396 @@ def pick_tile(x: int, preferred: int = 64) -> int | None:
     return None
 
 
+def _vmem_tile(x: int, y_cols: int, cost_rows, preferred: int = 128) -> int | None:
+    """Largest valid tile whose estimated VMEM footprint fits.
+
+    `cost_rows(t)` returns the kernel's VMEM use in f32-row-equivalents
+    (block buffers are double-buffered by the pipeline; kernel stack
+    temporaries are not). Budget ~14 MB of the 16 MB VMEM.
+    """
+    budget_rows = 14 * 2**20 / (y_cols * 4)
+    t = pick_tile(x, preferred=preferred)
+    while t is not None and cost_rows(t) > budget_rows:
+        t = pick_tile(x, preferred=t - 8) if t > 8 else None
+    return t
+
+
 def _sy(arr, d: int):
     """Shift columns by d with edge clamp, fully in VMEM."""
     if d == 0:
         return arr
     if d > 0:
-        return jnp.concatenate([arr[:, d:], *([arr[:, -1:]] * d)], axis=1)
+        return jnp.concatenate([arr[..., d:], *([arr[..., -1:]] * d)], axis=-1)
     d = -d
-    return jnp.concatenate([*([arr[:, :1]] * d), arr[:, :-d]], axis=1)
+    return jnp.concatenate([*([arr[..., :1]] * d), arr[..., :-d]], axis=-1)
 
 
-def _xv(prev, cur, nxt, ti, n_t, d: int):
-    """±1-row shifted view of the current tile, using neighbor tiles for
-    the halo and replicating the grid-edge row at the first/last tile."""
-    if d == 0:
-        return cur
-    if d == -1:
-        normal = jnp.concatenate([prev[-1:], cur[:-1]], axis=0)
-        first = jnp.concatenate([cur[:1], cur[:-1]], axis=0)
-        return jnp.where(ti == 0, first, normal)
-    if d == 1:
-        normal = jnp.concatenate([cur[1:], nxt[:1]], axis=0)
-        last = jnp.concatenate([cur[1:], cur[-1:]], axis=0)
-        return jnp.where(ti == n_t - 1, last, normal)
-    raise ValueError(d)
+def _ext(cur, prev8, next8, ti, n_t, h: int):
+    """(…, t+2h, Y) extended row window around the current tile.
+
+    Rows [r0-h, r0+t+h) with global clamp: at the first/last tile the
+    missing halo is the replicated edge row of the current tile.
+    """
+    row_ax = cur.ndim - 2
+    top = jnp.where(
+        ti == 0,
+        jnp.repeat(cur[..., :1, :], h, axis=row_ax),
+        prev8[..., _HB - h :, :],
+    )
+    bot = jnp.where(
+        ti == n_t - 1,
+        jnp.repeat(cur[..., -1:, :], h, axis=row_ax),
+        next8[..., :h, :],
+    )
+    return jnp.concatenate([top, cur, bot], axis=row_ax)
+
+
+def _xv(ext_arr, h: int, t: int, d: int):
+    """Rows shifted by d (|d| ≤ h) from an extended window: a pure
+    static slice."""
+    return ext_arr[..., h + d : h + d + t, :]
+
+
+def _halo_triple_specs(t: int, y: int, n_t: int, lead: int | None, dtype_rows: int = _HB):
+    """(cur, prev8, next8) BlockSpecs for one stencil input.
+
+    `lead` is the size of a leading channel axis folded into the block
+    (None for 2-D arrays). Index maps are in units of the block shape.
+    """
+    tb = t // _HB  # current tile expressed in 8-row blocks
+
+    if lead is None:
+        cur = pl.BlockSpec((t, y), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        prev = pl.BlockSpec(
+            (_HB, y), lambda i: (jnp.maximum(i * tb - 1, 0), 0), memory_space=pltpu.VMEM
+        )
+        nxt = pl.BlockSpec(
+            (_HB, y),
+            lambda i: (jnp.minimum(i * tb + tb, n_t * tb - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        cur = pl.BlockSpec((lead, t, y), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        prev = pl.BlockSpec(
+            (lead, _HB, y),
+            lambda i: (0, jnp.maximum(i * tb - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        nxt = pl.BlockSpec(
+            (lead, _HB, y),
+            lambda i: (0, jnp.minimum(i * tb + tb, n_t * tb - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+    return [cur, prev, nxt]
+
+
+def _center_spec(t: int, y: int, lead: int | None):
+    if lead is None:
+        return pl.BlockSpec((t, y), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((lead, t, y), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
 
 # ---------------------------------------------------------------------------
-# CIP advection phase: (f, fx, fy) advected by (u, w), masked composition
-# with the alternate buffers — the whole of fs/solver.py:267-332 plus the
-# where(fluid, ·, alt) writes, in one pass per (channel, tile).
+# CIP advection phase (fs/solver.py:267-332 + the masked buffer writes).
 # ---------------------------------------------------------------------------
 
 
 def _cip_kernel(
-    n_t: int,
-    dt: float,
-    dx: float,
-    # halo inputs: (prev, cur, next) triplets
-    f_m, f_c, f_p, fx_m, fx_c, fx_p, fy_m, fy_c, fy_p,
-    u_m, u_c, u_p, w_m, w_c, w_p,
-    # center inputs
-    alt_f, alt_fx, alt_fy, fluid_ref,
-    # outputs
-    fn_ref, fxn_ref, fyn_ref,
+    n_t: int, dt: float, dx: float, vel_is_f: bool,
+    *refs,
 ):
-    ti = pl.program_id(1)
+    it = iter(refs)
+    f3 = (next(it), next(it), next(it))
+    fx3 = (next(it), next(it), next(it))
+    fy3 = (next(it), next(it), next(it))
+    vel3 = f3 if vel_is_f else (next(it), next(it), next(it))
+    alt_f, alt_fx, alt_fy, fluid_ref = next(it), next(it), next(it), next(it)
+    fn_ref, fxn_ref, fyn_ref = next(it), next(it), next(it)
 
-    def views(m_ref, c_ref, p_ref, chan: bool):
-        prev = m_ref[0] if chan else m_ref[:]
-        cur = c_ref[0] if chan else c_ref[:]
-        nxt = p_ref[0] if chan else p_ref[:]
-        return (
-            _xv(prev, cur, nxt, ti, n_t, -1),
-            cur,
-            _xv(prev, cur, nxt, ti, n_t, 1),
-        )
+    ti = pl.program_id(0)
+    h = 1
+    chans = f3[0].shape[0]
+    t = f3[0].shape[1]
 
-    f_xm, f, f_xp = views(f_m, f_c, f_p, True)
-    fx_xm, fx, fx_xp = views(fx_m, fx_c, fx_p, True)
-    fy_xm, fy, fy_xp = views(fy_m, fy_c, fy_p, True)
-    u_xm, u, u_xp = views(u_m, u_c, u_p, False)
-    w_xm, w, w_xp = views(w_m, w_c, w_p, False)
+    # Velocity views are shared across channels — compute once.
+    ve = _ext(vel3[0][:], vel3[1][:], vel3[2][:], ti, n_t, h)
+    u, u_xm, u_xp = _xv(ve, h, t, 0)[0], _xv(ve, h, t, -1)[0], _xv(ve, h, t, 1)[0]
+    w, w_xm, w_xp = _xv(ve, h, t, 0)[1], _xv(ve, h, t, -1)[1], _xv(ve, h, t, 1)[1]
 
     i_s = jnp.where(u < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
     j_s = jnp.where(w < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
     up_x = jnp.logical_not(u < 0.0)
     up_y = jnp.logical_not(w < 0.0)
-
-    sel_x = lambda m, p: jnp.where(up_x, m, p)  # noqa: E731
-    sel_y = lambda m, p: jnp.where(up_y, m, p)  # noqa: E731
-
-    f_im = sel_x(f_xm, f_xp)
-    f_jm = sel_y(_sy(f, -1), _sy(f, 1))
-    # Diagonal: both shifts BEFORE the selects, so both upwind masks are
-    # evaluated at the center cell (same pitfall as ops/cip.py::_sel_xy).
-    f_imjm = sel_x(
-        sel_y(_sy(f_xm, -1), _sy(f_xm, 1)),
-        sel_y(_sy(f_xp, -1), _sy(f_xp, 1)),
-    )
-    fx_im = sel_x(fx_xm, fx_xp)
-    fx_jm = sel_y(_sy(fx, -1), _sy(fx, 1))
-    fy_im = sel_x(fy_xm, fy_xp)
-    fy_jm = sel_y(_sy(fy, -1), _sy(fy, 1))
-
-    tmp1 = f - f_jm - f_im + f_imjm
-    tmp2 = f_im - f
-    tmp3 = f_jm - f
-
     i_s_denom = i_s * dx**3
     j_s_denom = j_s * dx**3
-
-    a = (i_s * (fx_im + fx) * dx - 2.0 * (-tmp2)) / i_s_denom
-    bb = (j_s * (fy_jm + fy) * dx - 2.0 * (-tmp3)) / j_s_denom
-    cc = (-tmp1 - i_s * (fx_jm - fx) * dx) / j_s_denom
-    dd = (-tmp1 - j_s * (fy_im - fy) * dx) / i_s_denom
-    ee = (3.0 * tmp2 + i_s * (fx_im + 2.0 * fx) * dx) / dx**2
-    ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) / dx**2
-    gg = (-(fy_im - fy) + cc * dx**2) / (i_s * dx)
-
     X = -u * dt
     Y = -w * dt
-
-    fn = ((a * X + cc * Y + ee) * X + gg * Y + fx) * X + ((bb * Y + dd * X + ff) * Y + fy) * Y + f
-    Fx = (3.0 * a * X + 2.0 * cc * Y + 2.0 * ee) * X + (dd * Y + gg) * Y + fx
-    Fy = (3.0 * bb * Y + 2.0 * dd * X + 2.0 * ff) * Y + (cc * X + gg) * X + fy
-
     dudx = 0.5 * (u_xp - u_xm) / dx
     dwdx = 0.5 * (w_xp - w_xm) / dx
     dudy = 0.5 * (_sy(u, 1) - _sy(u, -1)) / dx
     dwdy = 0.5 * (_sy(w, 1) - _sy(w, -1)) / dx
-    fxn = Fx - dt * (Fx * dudx + Fy * dwdx) / 2.0
-    fyn = Fy - dt * (Fx * dudy + Fy * dwdy) / 2.0
-
     fluid = fluid_ref[:] != 0
-    fn_ref[0] = jnp.where(fluid, fn, alt_f[0])
-    fxn_ref[0] = jnp.where(fluid, fxn, alt_fx[0])
-    fyn_ref[0] = jnp.where(fluid, fyn, alt_fy[0])
+
+    sel_x = lambda m, p: jnp.where(up_x, m, p)  # noqa: E731
+    sel_y = lambda m, p: jnp.where(up_y, m, p)  # noqa: E731
+
+    # Per-channel compute keeps kernel temporaries (t, Y)-sized — the
+    # whole-block (C, t, Y) expression DAG would overflow Mosaic's VMEM
+    # stack at useful tile sizes.
+    for c in range(chans):
+        fe = _ext(f3[0][c], f3[1][c], f3[2][c], ti, n_t, h)
+        fxe = _ext(fx3[0][c], fx3[1][c], fx3[2][c], ti, n_t, h)
+        fye = _ext(fy3[0][c], fy3[1][c], fy3[2][c], ti, n_t, h)
+
+        f, f_xm, f_xp = _xv(fe, h, t, 0), _xv(fe, h, t, -1), _xv(fe, h, t, 1)
+        fx, fx_xm, fx_xp = _xv(fxe, h, t, 0), _xv(fxe, h, t, -1), _xv(fxe, h, t, 1)
+        fy, fy_xm, fy_xp = _xv(fye, h, t, 0), _xv(fye, h, t, -1), _xv(fye, h, t, 1)
+
+        f_im = sel_x(f_xm, f_xp)
+        f_jm = sel_y(_sy(f, -1), _sy(f, 1))
+        # Diagonal: both shifts BEFORE the selects, so both upwind masks
+        # are evaluated at the center cell (same pitfall as _sel_xy).
+        f_imjm = sel_x(
+            sel_y(_sy(f_xm, -1), _sy(f_xm, 1)),
+            sel_y(_sy(f_xp, -1), _sy(f_xp, 1)),
+        )
+        fx_im = sel_x(fx_xm, fx_xp)
+        fx_jm = sel_y(_sy(fx, -1), _sy(fx, 1))
+        fy_im = sel_x(fy_xm, fy_xp)
+        fy_jm = sel_y(_sy(fy, -1), _sy(fy, 1))
+
+        tmp1 = f - f_jm - f_im + f_imjm
+        tmp2 = f_im - f
+        tmp3 = f_jm - f
+
+        a = (i_s * (fx_im + fx) * dx - 2.0 * (-tmp2)) / i_s_denom
+        bb = (j_s * (fy_jm + fy) * dx - 2.0 * (-tmp3)) / j_s_denom
+        cc = (-tmp1 - i_s * (fx_jm - fx) * dx) / j_s_denom
+        dd = (-tmp1 - j_s * (fy_im - fy) * dx) / i_s_denom
+        ee = (3.0 * tmp2 + i_s * (fx_im + 2.0 * fx) * dx) / dx**2
+        ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) / dx**2
+        gg = (-(fy_im - fy) + cc * dx**2) / (i_s * dx)
+
+        fn = (
+            ((a * X + cc * Y + ee) * X + gg * Y + fx) * X
+            + ((bb * Y + dd * X + ff) * Y + fy) * Y
+            + f
+        )
+        Fx = (3.0 * a * X + 2.0 * cc * Y + 2.0 * ee) * X + (dd * Y + gg) * Y + fx
+        Fy = (3.0 * bb * Y + 2.0 * dd * X + 2.0 * ff) * Y + (cc * X + gg) * X + fy
+
+        fxn = Fx - dt * (Fx * dudx + Fy * dwdx) / 2.0
+        fyn = Fy - dt * (Fx * dudy + Fy * dwdy) / 2.0
+
+        fn_ref[c] = jnp.where(fluid, fn, alt_f[c])
+        fxn_ref[c] = jnp.where(fluid, fxn, alt_fx[c])
+        fyn_ref[c] = jnp.where(fluid, fyn, alt_fy[c])
 
 
 def cip_advect_pallas(
-    f, fx, fy, u, w, alt_f, alt_fx, alt_fy, fluid8,
+    f, fx, fy, vel, alt_f, alt_fx, alt_fy, fluid8,
     dt: float, dx: float, *, tile_x: int | None = None, interpret: bool = False,
 ):
-    """Fused CIP advection phase.
-
-    Equivalent to ``where(fluid, cip_advect(f, fx, fy, u, w), alt)`` per
-    output (see :func:`fluid2d_tpu.ops.cip.cip_advect`), one HBM pass
-    (plus the 3× halo re-reads of the five stencil inputs). `fluid8` is
-    the fluid mask as int8; shapes: f/fx/fy/alt_* (C, X, Y), u/w (X, Y).
+    """Fused CIP advection phase: equivalent to
+    ``where(fluid, cip_advect(f, fx, fy, vel[0], vel[1]), alt)`` per
+    output, one HBM pass. `vel` is the (2, X, Y) carrying velocity; pass
+    ``vel is f`` (velocity advecting itself) to skip the extra fetch.
     """
     chans, x_rows, y_cols = f.shape
-    # 22 double-buffered (t, Y) f32 tiles must fit in ~16 MB VMEM:
-    # t ≤ 16MB / (2·22·Y·4B). For Y=1600 that means t=32.
-    budget = 15 * 2**20 // (2 * 22 * y_cols * 4)
-    t = tile_x or pick_tile(x_rows, preferred=max(8, budget))
+    vel_is_f = vel is f
+
+    def cost_rows(t: int) -> float:
+        # Double-buffered block rows: 3 halo triples of C channels, the
+        # separate velocity triple, 3 alt + 3 out blocks, the i8 mask —
+        # plus ~44 live (t, Y) f32 stack temporaries (empirical; the
+        # per-channel loop keeps the expression DAG 2-D).
+        blocks = 3 * chans * (t + 2 * _HB) + 6 * chans * t + 0.3 * t
+        if not vel_is_f:
+            blocks += 2 * (t + 2 * _HB)
+        return 2 * blocks + 44 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid tile for X={x_rows}"
+        raise ValueError(msg)
     n_t = x_rows // t
-    grid = (chans, n_t)
 
-    def cspec(shape, index_map):
-        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+    specs = [
+        *_halo_triple_specs(t, y_cols, n_t, chans),
+        *_halo_triple_specs(t, y_cols, n_t, chans),
+        *_halo_triple_specs(t, y_cols, n_t, chans),
+    ]
+    args = [f, f, f, fx, fx, fx, fy, fy, fy]
+    if not vel_is_f:
+        specs += _halo_triple_specs(t, y_cols, n_t, 2)
+        args += [vel, vel, vel]
+    specs += [_center_spec(t, y_cols, chans)] * 3 + [_center_spec(t, y_cols, None)]
+    args += [alt_f, alt_fx, alt_fy, fluid8]
 
-    clamp_hi = lambda i: jnp.minimum(i + 1, n_t - 1)  # noqa: E731
-
-    def halo3(chan: bool):
-        if chan:
-            return [
-                cspec((1, t, y_cols), lambda c, i: (c, jnp.maximum(i - 1, 0), 0)),
-                cspec((1, t, y_cols), lambda c, i: (c, i, 0)),
-                cspec((1, t, y_cols), lambda c, i: (c, clamp_hi(i), 0)),
-            ]
-        return [
-            cspec((t, y_cols), lambda c, i: (jnp.maximum(i - 1, 0), 0)),
-            cspec((t, y_cols), lambda c, i: (i, 0)),
-            cspec((t, y_cols), lambda c, i: (clamp_hi(i), 0)),
-        ]
-
-    center_c = cspec((1, t, y_cols), lambda c, i: (c, i, 0))
-    mask_spec = cspec((t, y_cols), lambda c, i: (i, 0))
-
-    kernel = functools.partial(_cip_kernel, n_t, dt, dx)
+    kernel = functools.partial(_cip_kernel, n_t, dt, dx, vel_is_f)
     out_shape = [jax.ShapeDtypeStruct(f.shape, f.dtype) for _ in range(3)]
 
-    fn, fxn, fyn = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[*halo3(True), *halo3(True), *halo3(True), *halo3(False), *halo3(False),
-                  center_c, center_c, center_c, mask_spec],
-        out_specs=[center_c, center_c, center_c],
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[_center_spec(t, y_cols, chans)] * 3,
         out_shape=out_shape,
         interpret=interpret,
-    )(f, f, f, fx, fx, fx, fy, fy, fy, u, u, u, w, w, w, alt_f, alt_fx, alt_fy, fluid8)
-    return fn, fxn, fyn
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# One red-black SOR iteration: pressure BC + odd sweep + even sweep
+# (fs/pressure_updater.py:86-114 + fs/boundary_condition.py:41-65) with
+# the exact double-buffer semantics of ops/pressure.py.
+# ---------------------------------------------------------------------------
+
+
+def _pressure_bc_expr(p, code):
+    """Branch-free pressure BC. `p` is a row window with ≥1 halo row on
+    each side of `code`'s rows; returns values aligned with `code`
+    (i.e. p's interior rows). Row shifts clamp via the window's
+    edge-replicated halo rows (exact clamp-to-edge at grid ends)."""
+    px_m = p[:-2, :]
+    px_p = p[2:, :]
+    pc = p[1:-1, :]
+    py_m = _sy(pc, -1)
+    py_p = _sy(pc, 1)
+    out = pc
+    out = jnp.where(code == 1, px_m, out)
+    out = jnp.where(code == 2, px_p, out)
+    out = jnp.where(code == 3, py_m, out)
+    out = jnp.where(code == 4, py_p, out)
+    out = jnp.where(code == 5, (px_m + py_p) / 2.0, out)
+    out = jnp.where(code == 6, (px_p + py_p) / 2.0, out)
+    out = jnp.where(code == 7, (px_m + py_m) / 2.0, out)
+    out = jnp.where(code == 8, (px_p + py_m) / 2.0, out)
+    out = jnp.where(code == 9, px_p, out)
+    out = jnp.where(code == 10, jnp.float32(0.0), out)
+    return out
+
+
+def _predict_p_expr(p, u, w, dt: float, dx: float):
+    """predict_p (fs/pressure_updater.py:24-38) on aligned row windows:
+    `p`, `u`, `w` all cover the same rows; returns the interior
+    (len-2) rows."""
+    pxp = p[2:, :]
+    pxm = p[:-2, :]
+    pc = p[1:-1, :]
+    sub_x_u = u[2:, :] - u[:-2, :]
+    sub_x_w = w[2:, :] - w[:-2, :]
+    uc = u[1:-1, :]
+    wc = w[1:-1, :]
+    sub_y_u = _sy(uc, 1) - _sy(uc, -1)
+    sub_y_w = _sy(wc, 1) - _sy(wc, -1)
+    return (
+        0.25 * (pxp + pxm + _sy(pc, 1) + _sy(pc, -1))
+        + (sub_x_u**2 + sub_y_w**2 + (sub_y_u * sub_x_w)) / 8.0
+        - dx * (sub_x_u + sub_y_w) / (8 * dt)
+    )
+
+
+def _sor_kernel(
+    n_t: int, omega: float, dt: float, dx: float,
+    p_c, p_p8, p_n8, pa_c, pa_p8, pa_n8, u_c, u_p8, u_n8, w_c, w_p8, w_n8,
+    code_c, code_p8, code_n8, fl_c, fl_p8, fl_n8,
+    pn_ref, pc_ref,
+):
+    ti = pl.program_id(0)
+    t = p_c.shape[0]
+    y = p_c.shape[1]
+
+    # Extended row windows (output rows are [0, t); the even sweep needs
+    # the odd result at ±1; odd needs BC'd p at ±1; BC needs raw p at ±1):
+    pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 3)  # rows [-3, t+3)
+    pae = _ext(pa_c[:], pa_p8[:], pa_n8[:], ti, n_t, 1)  # rows [-1, t+1)
+    ue = _ext(u_c[:], u_p8[:], u_n8[:], ti, n_t, 2)  # rows [-2, t+2)
+    we = _ext(w_c[:], w_p8[:], w_n8[:], ti, n_t, 2)
+    # int8 comparisons aren't universally supported by the VPU — widen.
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, 1).astype(jnp.int32)
+
+    pbc = _pressure_bc_expr(pe, codee)  # rows [-2, t+2), aligned with codee
+
+    # Parity of (global_i + j) on rows [-1, t+1): global row of window
+    # row k is r0 + k - 1.
+    r0 = ti * t
+    gi = (
+        jax.lax.broadcasted_iota(jnp.int32, (t + 2, y), 0)
+        + (r0 - 1)
+        + jax.lax.broadcasted_iota(jnp.int32, (t + 2, y), 1)
+    )
+    odd = (gi % 2) == 1
+    fluid = fle != 0  # rows [-1, t+1)
+
+    # Odd sweep on rows [-1, t+1): read BC'd current, write onto the
+    # alternate-buffer base.
+    pred_odd = _predict_p_expr(pbc, ue, we, dt, dx)  # rows [-1, t+1)
+    pbc_mid = pbc[1:-1, :]  # rows [-1, t+1)
+    pn1 = jnp.where(odd & fluid, (1.0 - omega) * pbc_mid + omega * pred_odd, pae)
+
+    # Even sweep on rows [0, t): reads pn1 at ±1 (Gauss-Seidel coloring),
+    # its own stale value via the relaxation term, and clamp self-samples
+    # at the global edges. pn1's window halo rows hold pre-sweep-derived
+    # values at grid-end tiles, so rebuild the clamped halo from pn1's
+    # own edge rows there.
+    top = jnp.where(ti == 0, pn1[1:2, :], pn1[0:1, :])
+    bot = jnp.where(ti == n_t - 1, pn1[-2:-1, :], pn1[-1:, :])
+    pn1_ext = jnp.concatenate([top, pn1[1:-1, :], bot], axis=0)  # rows [-1, t+1)
+    pred_even = _predict_p_expr(pn1_ext, ue[1:-1, :], we[1:-1, :], dt, dx)  # rows [0, t)
+
+    even = jnp.logical_not(odd[1:-1, :])
+    fluid_c = fluid[1:-1, :]
+    pn1_c = pn1[1:-1, :]
+    pn = jnp.where(even & fluid_c, (1.0 - omega) * pn1_c + omega * pred_even, pn1_c)
+
+    pn_ref[:] = pn
+    pc_ref[:] = pbc[2:-2, :]  # BC'd current, center rows → new alt buffer
+
+
+def sor_iteration_pallas(
+    p_cur, p_alt, u, w, pbc_code, fluid8, omega: float, dt: float, dx: float,
+    *, tile_x: int | None = None, interpret: bool = False,
+):
+    """One fused red-black SOR iteration (BC + odd + even sweeps).
+
+    Returns the post-swap ``(p_cur, p_alt)`` pair, exactly matching
+    :func:`fluid2d_tpu.ops.pressure.sor_pressure_iteration`.
+    """
+    x_rows, y_cols = p_cur.shape
+
+    def cost_rows(t: int) -> float:
+        # 4 f32 halo triples + 2 i8 halo triples + 2 out blocks,
+        # plus ~24 live (t, Y) f32 stack temporaries.
+        blocks = 4 * (t + 2 * _HB) + 0.5 * (t + 2 * _HB) + 2 * t
+        return 2 * blocks + 24 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid tile for X={x_rows}"
+        raise ValueError(msg)
+    n_t = x_rows // t
+
+    specs = (
+        _halo_triple_specs(t, y_cols, n_t, None)
+        + _halo_triple_specs(t, y_cols, n_t, None)
+        + _halo_triple_specs(t, y_cols, n_t, None)
+        + _halo_triple_specs(t, y_cols, n_t, None)
+        + _halo_triple_specs(t, y_cols, n_t, None)
+        + _halo_triple_specs(t, y_cols, n_t, None)
+    )
+    args = [p_cur] * 3 + [p_alt] * 3 + [u] * 3 + [w] * 3 + [pbc_code] * 3 + [fluid8] * 3
+
+    kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx)
+    out_shape = [jax.ShapeDtypeStruct(p_cur.shape, p_cur.dtype)] * 2
+
+    pn, pc = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[_center_spec(t, y_cols, None)] * 2,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    return pn, pc

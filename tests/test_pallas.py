@@ -20,18 +20,36 @@ def test_cip_advect_pallas_matches_jnp(chans, tile):
     X, Y = 48, 20
     dt, dx = 0.002, 0.05
     f, fx, fy = _mk(chans, X, Y), _mk(chans, X, Y), _mk(chans, X, Y)
-    u, w = _mk(X, Y), _mk(X, Y)
+    vel = _mk(2, X, Y)
     alts = [_mk(chans, X, Y) for _ in range(3)]
     fluid = RNG.random((X, Y)) > 0.3
     fluid8 = jnp.asarray(fluid, jnp.int8)
 
-    ref = cip_advect(f, fx, fy, u, w, dt, dx)
+    ref = cip_advect(f, fx, fy, vel[0], vel[1], dt, dx)
     ref = [np.asarray(jnp.where(fluid, r, a)) for r, a in zip(ref, alts)]
-    got = cip_advect_pallas(f, fx, fy, u, w, *alts, fluid8, dt, dx,
+    got = cip_advect_pallas(f, fx, fy, vel, *alts, fluid8, dt, dx,
                             tile_x=tile, interpret=True)
     for name, g, r in zip(("fn", "fxn", "fyn"), got, ref):
         scale = max(1.0, np.abs(r).max())
         np.testing.assert_allclose(np.asarray(g), r, atol=1e-5 * scale, rtol=0, err_msg=name)
+
+
+def test_cip_advect_pallas_self_advection():
+    """vel is f (velocity advecting itself) skips the duplicate fetch."""
+    X, Y = 32, 12
+    dt, dx = 0.002, 0.05
+    f, fx, fy = _mk(2, X, Y), _mk(2, X, Y), _mk(2, X, Y)
+    alts = [_mk(2, X, Y) for _ in range(3)]
+    fluid = RNG.random((X, Y)) > 0.3
+    fluid8 = jnp.asarray(fluid, jnp.int8)
+
+    ref = cip_advect(f, fx, fy, f[0], f[1], dt, dx)
+    ref = [np.asarray(jnp.where(fluid, r, a)) for r, a in zip(ref, alts)]
+    got = cip_advect_pallas(f, fx, fy, f, *alts, fluid8, dt, dx,
+                            tile_x=8, interpret=True)
+    for g, r in zip(got, ref):
+        scale = max(1.0, np.abs(r).max())
+        np.testing.assert_allclose(np.asarray(g), r, atol=1e-5 * scale, rtol=0)
 
 
 def test_cip_advect_pallas_upwind_boundaries():
@@ -43,15 +61,39 @@ def test_cip_advect_pallas_upwind_boundaries():
     # Alternating sign bands crossing tile boundaries.
     u = jnp.asarray(np.tile(np.repeat([1.0, -1.0], 4), X // 8)[:, None] * np.ones((X, Y)),
                     jnp.float32)
-    w = -u
+    vel = jnp.stack([u, -u])
     alts = [jnp.zeros((2, X, Y), jnp.float32) for _ in range(3)]
     fluid8 = jnp.ones((X, Y), jnp.int8)
 
-    ref = cip_advect(f, fx, fy, u, w, dt, dx)
-    got = cip_advect_pallas(f, fx, fy, u, w, *alts, fluid8, dt, dx,
+    ref = cip_advect(f, fx, fy, vel[0], vel[1], dt, dx)
+    got = cip_advect_pallas(f, fx, fy, vel, *alts, fluid8, dt, dx,
                             tile_x=8, interpret=True)
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tile", [8, 16])
+def test_sor_iteration_pallas_matches_jnp(tile):
+    from fluid2d_tpu.ops.pallas_stencil import sor_iteration_pallas
+    from fluid2d_tpu.ops.pressure import sor_pressure_iteration
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    bc, mask, dye = build_scene_arrays(2, 16)  # grid (32, 16)
+    scene = compile_scene(bc, mask, dye)
+    p = _mk(*mask.shape)
+    pa = _mk(*mask.shape)
+    u = _mk(*mask.shape)
+    w = _mk(*mask.shape)
+    omega, dt, dx = 1.3, 1e-3, 1 / 16
+
+    ref = sor_pressure_iteration(p, pa, u, w, scene, omega, dt, dx)
+    got = sor_iteration_pallas(p, pa, u, w, scene.pbc_code, scene.fluid8,
+                               omega, dt, dx, tile_x=tile, interpret=True)
+    for name, g, r in zip(("pn", "pc"), got, ref):
+        scale = max(1.0, np.abs(np.asarray(r)).max())
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-5 * scale, rtol=0, err_msg=name)
 
 
 def test_pick_tile():
