@@ -29,7 +29,7 @@ from fluid2d_tpu.ops.cip import (
     non_advection_velocity,
 )
 from fluid2d_tpu.ops.limiters import clamp_field, limit_vector_norm
-from fluid2d_tpu.ops.pallas_stencil import cip_advect_pallas
+from fluid2d_tpu.ops.pallas_phases import cip_dye_phase_pallas, cip_velocity_phase_pallas
 from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
@@ -39,15 +39,8 @@ __all__ = ["cip_step"]
 
 
 def _advect_phase(f_na, gx_na, gy_na, vel, alt_f, alt_gx, alt_gy, scene, cfg):
-    """CIP advection at fluid cells, non-fluid from the alternate buffer —
-    fused Pallas kernel on TPU, jnp composition elsewhere. `vel` is the
-    (2, X, Y) carrying velocity (pass ``f_na`` itself for self-advection
-    so the kernel skips the duplicate fetch)."""
-    if use_pallas(cfg, f_na.shape[-2]):
-        return cip_advect_pallas(
-            f_na, gx_na, gy_na, vel, alt_f, alt_gx, alt_gy, scene.fluid8,
-            cfg.dt, cfg.dx, interpret=(cfg.kernels == "pallas_interpret"),
-        )
+    """CIP advection at fluid cells, non-fluid from the alternate buffer
+    (jnp path)."""
     f_cand, gx_cand, gy_cand = cip_advect(f_na, gx_na, gy_na, vel[0], vel[1], cfg.dt, cfg.dx)
     fl = scene.fluid
     return (
@@ -63,23 +56,34 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     dt, dx = cfg.dt, cfg.dx
     nw = scene.not_wall
     fl = scene.fluid
+    pallas = use_pallas(cfg, state.p.shape[-2])
+    interp = cfg.kernels == "pallas_interpret"
 
-    vc = velocity_bc(state.v, scene)
+    if pallas:
+        # One fused kernel: BC → non-advection → gradient update → CIP
+        # advection, producing all six velocity-family buffers.
+        v_cur, vx_cur, vy_cur, v_alt, vx_alt, vy_alt = cip_velocity_phase_pallas(
+            state.v, state.p, state.v_alt, state.vx, state.vx_alt,
+            state.vy, state.vy_alt, scene, cfg.re, dt, dx, interpret=interp,
+        )
+    else:
+        vc = velocity_bc(state.v, scene)
 
-    # --- Phase 1: non-advection (pressure + diffusion) into the alt buffer.
-    v_na = jnp.where(nw, non_advection_velocity(vc, state.p, cfg.re, dt, dx), state.v_alt)
-    gx_cand, gy_cand = non_advection_grad(state.vx, state.vy, vc, v_na, dx)
-    vx_na = jnp.where(nw, gx_cand, state.vx_alt)
-    vy_na = jnp.where(nw, gy_cand, state.vy_alt)
-    # (swap: current = *_na, next = pre-phase current)
+        # --- Phase 1: non-advection (pressure + diffusion) into the alt
+        # buffer.
+        v_na = jnp.where(nw, non_advection_velocity(vc, state.p, cfg.re, dt, dx), state.v_alt)
+        gx_cand, gy_cand = non_advection_grad(state.vx, state.vy, vc, v_na, dx)
+        vx_na = jnp.where(nw, gx_cand, state.vx_alt)
+        vy_na = jnp.where(nw, gy_cand, state.vy_alt)
+        # (swap: current = *_na, next = pre-phase current)
 
-    # --- Phase 2: CIP advection at fluid cells, carried by the phase-1
-    # velocity; non-fluid cells of the write buffer keep the pre-phase
-    # values (vc for v — i.e. BC-fresh inflow/outflow survive the step).
-    v_cur, vx_cur, vy_cur = _advect_phase(
-        v_na, vx_na, vy_na, v_na, vc, state.vx, state.vy, scene, cfg
-    )
-    v_alt, vx_alt, vy_alt = v_na, vx_na, vy_na
+        # --- Phase 2: CIP advection at fluid cells, carried by the
+        # phase-1 velocity; non-fluid cells of the write buffer keep the
+        # pre-phase values (vc for v — BC-fresh inflow/outflow survive).
+        v_cur, vx_cur, vy_cur = _advect_phase(
+            v_na, vx_na, vy_na, v_na, vc, state.vx, state.vy, scene, cfg
+        )
+        v_alt, vx_alt, vy_alt = v_na, vx_na, vy_na
 
     if cfg.vor_eps is not None:
         v_cur, v_alt = apply_confinement(v_cur, v_alt, fl, dt, cfg.vor_eps, dx)
@@ -101,16 +105,23 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     )
 
     if cfg.enable_dye:
-        dc = dye_bc(state.dye, scene)
-        d_na = jnp.where(nw, non_advection_diffusion(dc, cfg.re, dt, dx), state.dye_alt)
-        dgx_cand, dgy_cand = non_advection_grad(state.dyex, state.dyey, dc, d_na, dx)
-        dx_na = jnp.where(nw, dgx_cand, state.dyex_alt)
-        dy_na = jnp.where(nw, dgy_cand, state.dyey_alt)
+        if pallas:
+            dye_cur, dyex_cur, dyey_cur, d_na, dx_na, dy_na = cip_dye_phase_pallas(
+                state.dye, state.dye_alt, state.dyex, state.dyex_alt,
+                state.dyey, state.dyey_alt, v_cur, scene, cfg.re, dt, dx,
+                interpret=interp,
+            )
+        else:
+            dc = dye_bc(state.dye, scene)
+            d_na = jnp.where(nw, non_advection_diffusion(dc, cfg.re, dt, dx), state.dye_alt)
+            dgx_cand, dgy_cand = non_advection_grad(state.dyex, state.dyey, dc, d_na, dx)
+            dx_na = jnp.where(nw, dgx_cand, state.dyex_alt)
+            dy_na = jnp.where(nw, dgy_cand, state.dyey_alt)
 
-        dye_adv, dyex_cur, dyey_cur = _advect_phase(
-            d_na, dx_na, dy_na, v_cur, dc, state.dyex, state.dyey, scene, cfg
-        )
-        dye_cur = clamp_field(dye_adv, 0.0, 1.0)
+            dye_adv, dyex_cur, dyey_cur = _advect_phase(
+                d_na, dx_na, dy_na, v_cur, dc, state.dyex, state.dyey, scene, cfg
+            )
+            dye_cur = clamp_field(dye_adv, 0.0, 1.0)
         kw.update(
             dye=dye_cur,
             dye_alt=d_na,

@@ -17,9 +17,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from fluid2d_tpu.config import SimConfig
-from fluid2d_tpu.models.common import laplacian, pressure_gradient, update_pressure
+from fluid2d_tpu.models.common import laplacian, pressure_gradient, update_pressure, use_pallas
 from fluid2d_tpu.ops.advection import advect_kk, advect_upwind
 from fluid2d_tpu.ops.limiters import clamp_field, limit_vector_norm
+from fluid2d_tpu.ops.pallas_phases import mac_dye_phase_pallas, mac_velocity_phase_pallas
 from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
@@ -35,13 +36,25 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     dye tail: ``DyeMacSolver.update``, ``:136-152``)."""
     advect = _ADVECT[cfg.scheme]
     dt, dx = cfg.dt, cfg.dx
+    pallas = use_pallas(cfg, state.p.shape[-2])
+    interp = cfg.kernels == "pallas_interpret"
 
     # Velocity BC on the current buffer, then the fused momentum update
     # writes fluid cells of the alternate buffer; swap.
-    vc = velocity_bc(state.v, scene)
-    rhs = -advect(vc[0], vc[1], vc, dx) - pressure_gradient(state.p, dx) + laplacian(vc, dx) / cfg.re
-    v_cur = jnp.where(scene.fluid, vc + dt * rhs, state.v_alt)
-    v_alt = vc
+    if pallas:
+        v_cur, v_alt = mac_velocity_phase_pallas(
+            state.v, state.p, state.v_alt, scene, cfg.scheme, cfg.re, dt, dx,
+            interpret=interp,
+        )
+    else:
+        vc = velocity_bc(state.v, scene)
+        rhs = (
+            -advect(vc[0], vc[1], vc, dx)
+            - pressure_gradient(state.p, dx)
+            + laplacian(vc, dx) / cfg.re
+        )
+        v_cur = jnp.where(scene.fluid, vc + dt * rhs, state.v_alt)
+        v_alt = vc
 
     if cfg.vor_eps is not None:
         v_cur, v_alt = apply_confinement(v_cur, v_alt, scene.fluid, dt, cfg.vor_eps, dx)
@@ -55,9 +68,15 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     if cfg.enable_dye:
         # Pure advection of the dye by the limited velocity, then a global
         # clamp to [0, 1] on the current buffer only.
-        dc = dye_bc(state.dye, scene)
-        dn = dc - dt * advect(v_cur[0], v_cur[1], dc, dx)
-        dye_cur = clamp_field(jnp.where(scene.fluid, dn, state.dye_alt), 0.0, 1.0)
+        if pallas:
+            dye_cur, dc = mac_dye_phase_pallas(
+                state.dye, state.dye_alt, v_cur, scene, cfg.scheme, dt, dx,
+                interpret=interp,
+            )
+        else:
+            dc = dye_bc(state.dye, scene)
+            dn = dc - dt * advect(v_cur[0], v_cur[1], dc, dx)
+            dye_cur = clamp_field(jnp.where(scene.fluid, dn, state.dye_alt), 0.0, 1.0)
         kw.update(dye=dye_cur, dye_alt=dc)
 
     return state._replace(**kw)

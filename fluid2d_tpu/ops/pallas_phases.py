@@ -1,0 +1,561 @@
+"""Whole-phase Pallas mega-kernels.
+
+These fuse an entire solver phase into one HBM pass by cascading the
+sub-steps on progressively narrower row windows inside the kernel (the
+widest intermediate needs ≤ 8 halo rows, which one neighbor side-block
+provides):
+
+* :func:`cip_velocity_phase_pallas` — velocity BC → non-advection
+  (pressure + diffusion) → gradient update → cubic CIP advection,
+  i.e. ``fs/boundary_condition.py:16-39`` + ``fs/solver.py:192-332``
+  minus confinement/pressure/limit, in ONE kernel. Outputs all six
+  carried arrays (v, vx, vy current + their alternates).
+* :func:`cip_dye_phase_pallas` — dye BC → diffusion → gradient update →
+  CIP advection → [0,1] clamp (``DyeCipMacSolver``, ``fs/solver.py:353-401``).
+* :func:`mac_velocity_phase_pallas` — velocity BC → fused momentum
+  update for the upwind / Kawamura-Kuwahara schemes
+  (``fs/solver.py:79-107``).
+* :func:`mac_dye_phase_pallas` — dye BC → upwind/KK dye advection →
+  clamp (``fs/solver.py:149-161``).
+
+Window cascade bookkeeping: every expression function takes aligned row
+windows and returns their interior; the kernel assembles the widest
+window once from (cur, prev8, next8) blocks via
+:func:`fluid2d_tpu.ops.pallas_stencil._ext` and slices down the chain.
+Velocity-BC conflict semantics use the packed ``scene.vbc_code``
+(docstring in scenes/compile.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from fluid2d_tpu.ops.pallas_stencil import (
+    _HB,
+    _center_spec,
+    _ext,
+    _halo_triple_specs,
+    _sy,
+    _vmem_tile,
+    cip_advect_window_expr,
+)
+
+__all__ = [
+    "cip_velocity_phase_pallas",
+    "cip_dye_phase_pallas",
+    "mac_velocity_phase_pallas",
+    "mac_dye_phase_pallas",
+]
+
+
+# --- window expressions -----------------------------------------------------
+
+
+def _tmax(x, c):
+    """fmax semantics (NaN → c); see ops/stencil.py::tmax."""
+    return jnp.where(jnp.isnan(x), c, jnp.maximum(x, c))
+
+
+def _reclamp(win, ti, n_t: int, a: int, b: int | None = None):
+    """Re-impose clamp-to-edge on a COMPUTED row window at grid-edge tiles.
+
+    `win` covers rows [-a, t+b); its halo rows were computed from
+    edge-replicated *raw inputs*, which does not commute with the
+    computation — the reference's semantics clamp the computed value
+    instead. At the first/last tile, replace the out-of-grid rows with
+    replicas of the true edge row. Interior tiles are untouched.
+    """
+    if b is None:
+        b = a
+    n = win.shape[-2]
+    if a:
+        true_top = jnp.repeat(win[..., a : a + 1, :], a, axis=-2)
+        fixed = jnp.concatenate([true_top, win[..., a:, :]], axis=-2)
+        win = jnp.where(ti == 0, fixed, win)
+    if b:
+        true_bot = jnp.repeat(win[..., n - b - 1 : n - b, :], b, axis=-2)
+        fixed = jnp.concatenate([win[..., : n - b, :], true_bot], axis=-2)
+        win = jnp.where(ti == n_t - 1, fixed, win)
+    return win
+
+
+def _velocity_bc_window(u_w, w_w, code, const_u, const_w):
+    """Velocity BC (fs/boundary_condition.py:16-39) on aligned windows.
+
+    `u_w`/`w_w` carry a ±2 row halo around `code`'s rows; `const_*`
+    align with `code`. Returns (u, w) aligned with `code`.
+    """
+    n = code.shape[0]
+    uc = u_w[2:-2]
+    wc = w_w[2:-2]
+
+    out_u = uc
+    out_w = wc
+    # Ghost mirrors (pattern k writes -v from two cells toward the fluid).
+    out_u = jnp.where(code == 1, -u_w[0:n], out_u)
+    out_w = jnp.where(code == 1, -w_w[0:n], out_w)
+    out_u = jnp.where(code == 2, -u_w[4 : 4 + n], out_u)
+    out_w = jnp.where(code == 2, -w_w[4 : 4 + n], out_w)
+    out_u = jnp.where(code == 3, -_sy(uc, -2), out_u)
+    out_w = jnp.where(code == 3, -_sy(wc, -2), out_w)
+    out_u = jnp.where(code == 4, -_sy(uc, 2), out_u)
+    out_w = jnp.where(code == 4, -_sy(wc, 2), out_w)
+    # Inflow.
+    out_u = jnp.where(code == 5, const_u, out_u)
+    out_w = jnp.where(code == 5, const_w, out_w)
+    # Outflow: x-component only, no backflow, reads the pre-BC value.
+    out_u = jnp.where(code == 6, _tmax(u_w[1 : 1 + n], jnp.float32(0.05)), out_u)
+    return out_u, out_w
+
+
+def _lap_window(f_w, dx: float):
+    """∇²f on a ±1-halo window → interior rows (fs/differentiation.py:54-60)."""
+    fc = f_w[1:-1]
+    ddx = (f_w[2:] - 2.0 * fc + f_w[:-2]) / dx**2
+    ddy = (_sy(fc, 1) - 2.0 * fc + _sy(fc, -1)) / dx**2
+    return ddx + ddy
+
+
+def _grad_pair_window(p_w, dx: float):
+    """(∂p/∂x, ∂p/∂y) on a ±1-halo window → interior rows."""
+    pc = p_w[1:-1]
+    gx = 0.5 * (p_w[2:] - p_w[:-2]) / dx
+    gy = 0.5 * (_sy(pc, 1) - _sy(pc, -1)) / dx
+    return gx, gy
+
+
+def _grad_update_window(g_c, delta_w, axis: str, dx: float):
+    """CIP gradient update from the non-advection change
+    (fs/solver.py:242-261): g + (Δ[+1] − Δ[−1]) / (2dx) along `axis`."""
+    if axis == "x":
+        return g_c + (delta_w[2:] - delta_w[:-2]) / (2.0 * dx)
+    dc = delta_w[1:-1]
+    return g_c + (_sy(dc, 1) - _sy(dc, -1)) / (2.0 * dx)
+
+
+def _advect_upwind_window(u_c, w_c, phi_w, dx: float):
+    """First-order upwind advection term (fs/advection.py:13-24) on a
+    ±1-halo phi window; u/w aligned with the interior."""
+    pc = phi_w[1:-1]
+    fdx = (phi_w[2:] - pc) / dx
+    bdx = (pc - phi_w[:-2]) / dx
+    ax = u_c * jnp.where(u_c < 0.0, fdx, bdx)
+    fdy = (_sy(pc, 1) - pc) / dx
+    bdy = (pc - _sy(pc, -1)) / dx
+    ay = w_c * jnp.where(w_c < 0.0, fdy, bdy)
+    return ax + ay
+
+
+def _advect_kk_window(u_c, w_c, phi_w, dx: float):
+    """Kawamura-Kuwahara advection term (fs/advection.py:28-60) on a
+    ±2-halo phi window; u/w aligned with the interior."""
+    n = u_c.shape[0]
+    p2x, p1x = phi_w[4 : 4 + n], phi_w[3 : 3 + n]
+    pc = phi_w[2 : 2 + n]
+    m1x, m2x = phi_w[1 : 1 + n], phi_w[0:n]
+    neg_x = -2.0 * p2x + 10.0 * p1x - 9.0 * pc + 2.0 * m1x - 1.0 * m2x
+    pos_x = 1.0 * p2x - 2.0 * p1x + 9.0 * pc - 10.0 * m1x + 2.0 * m2x
+    a = jnp.where(u_c < 0.0, neg_x, pos_x) / (6.0 * dx)
+
+    p2y, p1y = _sy(pc, 2), _sy(pc, 1)
+    m1y, m2y = _sy(pc, -1), _sy(pc, -2)
+    neg_y = -2.0 * p2y + 10.0 * p1y - 9.0 * pc + 2.0 * m1y - 1.0 * m2y
+    pos_y = 1.0 * p2y - 2.0 * p1y + 9.0 * pc - 10.0 * m1y + 2.0 * m2y
+    b = jnp.where(w_c < 0.0, neg_y, pos_y) / (6.0 * dx)
+    return u_c * a + w_c * b
+
+
+def _clamp01(x):
+    """fmin/fmax clamp to [0,1] (NaN → 0), matching ops/limiters.py."""
+    lo = jnp.where(jnp.isnan(x), jnp.float32(0.0), jnp.maximum(x, jnp.float32(0.0)))
+    return jnp.minimum(lo, jnp.float32(1.0))
+
+
+# --- CIP velocity phase kernel ----------------------------------------------
+
+
+def _cip_velocity_kernel(
+    n_t: int, re: float, dt: float, dx: float,
+    v_c, v_p8, v_n8, p_c, p_p8, p_n8, va_c, va_p8, va_n8,
+    vx_c, vx_p8, vx_n8, vxa_c, vxa_p8, vxa_n8,
+    vy_c, vy_p8, vy_n8, vya_c, vya_p8, vya_n8,
+    code_c, code_p8, code_n8, const_c, const_p8, const_n8,
+    nw_c, nw_p8, nw_n8, fluid_ref,
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out,
+):
+    ti = pl.program_id(0)
+    t = code_c.shape[0]
+
+    # Widest windows first. Output rows [0, t):
+    #   advect needs na-values on [-1, t+1)
+    #   grads on [-1, t+1) need delta on [-2, t+2)
+    #   v_na on [-2, t+2) needs BC'd vc on [-3, t+3)
+    #   vc on [-3, t+3) needs raw v on [-5, t+5).
+    ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 5)  # (2, t+10, Y)
+    pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 3)  # (t+6, Y)
+    vae = _ext(va_c[:], va_p8[:], va_n8[:], ti, n_t, 2)  # (2, t+4, Y)
+    vxe = _ext(vx_c[:], vx_p8[:], vx_n8[:], ti, n_t, 1)  # (2, t+2, Y)
+    vxae = _ext(vxa_c[:], vxa_p8[:], vxa_n8[:], ti, n_t, 1)
+    vye = _ext(vy_c[:], vy_p8[:], vy_n8[:], ti, n_t, 1)
+    vyae = _ext(vya_c[:], vya_p8[:], vya_n8[:], ti, n_t, 1)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 3).astype(jnp.int32)
+    conste = _ext(const_c[:], const_p8[:], const_n8[:], ti, n_t, 3)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+
+    # 1. Velocity BC on rows [-3, t+3); re-clamp so shifted reads of the
+    #    COMPUTED vc match the jnp path's clamp-to-edge at grid ends.
+    uc_bc, wc_bc = _velocity_bc_window(ve[0], ve[1], codee, conste[0], conste[1])
+    uc_bc = _reclamp(uc_bc, ti, n_t, 3)
+    wc_bc = _reclamp(wc_bc, ti, n_t, 3)
+
+    # 2. Non-advection phase on rows [-2, t+2):
+    #    fn = fc + (-∇p + ∇²fc/Re)·dt at not-wall, else the alt buffer.
+    gpx, gpy = _grad_pair_window(pe, dx)  # rows [-2, t+2)
+    nw_mid = nwe != 0  # rows [-2, t+2)
+    u_na = jnp.where(nw_mid, uc_bc[1:-1] + (-gpx + _lap_window(uc_bc, dx) / re) * dt, vae[0])
+    w_na = jnp.where(nw_mid, wc_bc[1:-1] + (-gpy + _lap_window(wc_bc, dx) / re) * dt, vae[1])
+    u_na = _reclamp(u_na, ti, n_t, 2)
+    w_na = _reclamp(w_na, ti, n_t, 2)
+
+    # 3. Gradient update on rows [-1, t+1).
+    du = u_na - uc_bc[1:-1]  # rows [-2, t+2)
+    dw = w_na - wc_bc[1:-1]
+    nw_in = nw_mid[1:-1]  # rows [-1, t+1)
+    ux_na = jnp.where(nw_in, _grad_update_window(vxe[0], du, "x", dx), vxae[0])
+    wx_na = jnp.where(nw_in, _grad_update_window(vxe[1], dw, "x", dx), vxae[1])
+    uy_na = jnp.where(nw_in, _grad_update_window(vye[0], du, "y", dx), vyae[0])
+    wy_na = jnp.where(nw_in, _grad_update_window(vye[1], dw, "y", dx), vyae[1])
+    ux_na = _reclamp(ux_na, ti, n_t, 1)
+    wx_na = _reclamp(wx_na, ti, n_t, 1)
+    uy_na = _reclamp(uy_na, ti, n_t, 1)
+    wy_na = _reclamp(wy_na, ti, n_t, 1)
+
+    # 4. CIP advection at fluid cells, carried by the phase-1 velocity;
+    #    non-fluid keeps the BC'd pre-phase velocity / pre-phase grads.
+    u_na_in = u_na[1:-1]  # rows [-1, t+1)
+    w_na_in = w_na[1:-1]
+    fn_u, fxn_u, fyn_u = cip_advect_window_expr(u_na_in, ux_na, uy_na, u_na_in, w_na_in, dt, dx)
+    fn_w, fxn_w, fyn_w = cip_advect_window_expr(w_na_in, wx_na, wy_na, u_na_in, w_na_in, dt, dx)
+
+    v_out[0] = jnp.where(fluid, fn_u, uc_bc[3:-3])
+    v_out[1] = jnp.where(fluid, fn_w, wc_bc[3:-3])
+    vx_out[0] = jnp.where(fluid, fxn_u, vxe[0][1:-1])
+    vx_out[1] = jnp.where(fluid, fxn_w, vxe[1][1:-1])
+    vy_out[0] = jnp.where(fluid, fyn_u, vye[0][1:-1])
+    vy_out[1] = jnp.where(fluid, fyn_w, vye[1][1:-1])
+    vna_out[0] = u_na[2:-2]
+    vna_out[1] = w_na[2:-2]
+    vxna_out[0] = ux_na[1:-1]
+    vxna_out[1] = wx_na[1:-1]
+    vyna_out[0] = uy_na[1:-1]
+    vyna_out[1] = wy_na[1:-1]
+
+
+def cip_velocity_phase_pallas(
+    v, p, v_alt, vx, vx_alt, vy, vy_alt, scene,
+    re: float, dt: float, dx: float,
+    *, tile_x: int | None = None, interpret: bool = False,
+):
+    """Whole CIP velocity phase (BC + non-advection + grads + advection).
+
+    Returns ``(v_cur, vx_cur, vy_cur, v_na, vx_na, vy_na)`` — the first
+    three are the advected state, the latter three become the alternate
+    buffers (exactly like the jnp composition in models/cip.py).
+    """
+    x_rows, y_cols = p.shape
+
+    def cost_rows(t: int) -> float:
+        # 15 f32 halo channels (v 2, p 1, v_alt 2, grads+alts 8, const 2)
+        # + i8 codes/masks + 12 output channels + fluid, plus stack.
+        blocks = 15.5 * (t + 2 * _HB) + 12.25 * t
+        return 2 * blocks + 60 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid tile for X={x_rows}"
+        raise ValueError(msg)
+    n_t = x_rows // t
+
+    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+    specs = (
+        h2(2) + h2(None) + h2(2) + h2(2) + h2(2) + h2(2) + h2(2)
+        + h2(None) + h2(2) + h2(None) + [_center_spec(t, y_cols, None)]
+    )
+    args = (
+        [v] * 3 + [p] * 3 + [v_alt] * 3 + [vx] * 3 + [vx_alt] * 3 + [vy] * 3 + [vy_alt] * 3
+        + [scene.vbc_code] * 3 + [scene.bc_const] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
+    )
+
+    kernel = functools.partial(_cip_velocity_kernel, n_t, re, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[_center_spec(t, y_cols, 2)] * 6,
+        out_shape=[out_sd] * 6,
+        interpret=interpret,
+    )(*args)
+
+
+# --- CIP dye phase kernel ----------------------------------------------------
+
+
+def _cip_dye_kernel(
+    n_t: int, re: float, dt: float, dx: float,
+    d_c, d_p8, d_n8, da_c, da_p8, da_n8,
+    dx_c, dx_p8, dx_n8, dxa_c, dxa_p8, dxa_n8,
+    dy_c, dy_p8, dy_n8, dya_c, dya_p8, dya_n8,
+    vel_c, vel_p8, vel_n8, bcd_c, bcd_p8, bcd_n8,
+    inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
+    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
+):
+    ti = pl.program_id(0)
+    chans = d_c.shape[0]
+
+    vele = _ext(vel_c[:], vel_p8[:], vel_n8[:], ti, n_t, 1)  # (2, t+2, Y)
+    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    nw_mid = nwe != 0
+    nw_in = nw_mid[1:-1]
+    fluid = fluid_ref[:] != 0
+
+    for c in range(chans):
+        de = _ext(d_c[c], d_p8[c], d_n8[c], ti, n_t, 3)  # rows [-3, t+3)
+        bcde = _ext(bcd_c[c], bcd_p8[c], bcd_n8[c], ti, n_t, 3)
+        dae = _ext(da_c[c], da_p8[c], da_n8[c], ti, n_t, 2)
+        dxe = _ext(dx_c[c], dx_p8[c], dx_n8[c], ti, n_t, 1)
+        dxae = _ext(dxa_c[c], dxa_p8[c], dxa_n8[c], ti, n_t, 1)
+        dye_ = _ext(dy_c[c], dy_p8[c], dy_n8[c], ti, n_t, 1)
+        dyae = _ext(dya_c[c], dya_p8[c], dya_n8[c], ti, n_t, 1)
+
+        # 1. Dye BC (inflow colors) on rows [-3, t+3), re-clamped.
+        dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, 3)
+
+        # 2. Diffusion-only non-advection phase on rows [-2, t+2):
+        #    dn = dc + (∇²dc/Re)·dt at not-wall (fs/solver.py:378-383).
+        d_na = jnp.where(nw_mid, dc[1:-1] + (_lap_window(dc, dx) / re) * dt, dae)
+        d_na = _reclamp(d_na, ti, n_t, 2)
+
+        # 3. Gradient update on rows [-1, t+1).
+        delta = d_na - dc[1:-1]
+        gx_na = _reclamp(
+            jnp.where(nw_in, _grad_update_window(dxe, delta, "x", dx), dxae), ti, n_t, 1
+        )
+        gy_na = _reclamp(
+            jnp.where(nw_in, _grad_update_window(dye_, delta, "y", dx), dyae), ti, n_t, 1
+        )
+
+        # 4. CIP advection by the (post-limit) velocity; then the global
+        #    [0,1] clamp on the current buffer (fs/solver.py:366-373).
+        fn, fxn, fyn = cip_advect_window_expr(
+            d_na[1:-1], gx_na, gy_na, vele[0], vele[1], dt, dx
+        )
+        d_out[c] = _clamp01(jnp.where(fluid, fn, dc[3:-3]))
+        dx_out[c] = jnp.where(fluid, fxn, dxe[1:-1])
+        dy_out[c] = jnp.where(fluid, fyn, dye_[1:-1])
+        dna_out[c] = d_na[2:-2]
+        dxna_out[c] = gx_na[1:-1]
+        dyna_out[c] = gy_na[1:-1]
+
+
+def cip_dye_phase_pallas(
+    dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene,
+    re: float, dt: float, dx: float,
+    *, tile_x: int | None = None, interpret: bool = False,
+):
+    """Whole CIP dye phase (BC + diffusion + grads + advection + clamp).
+
+    Returns ``(dye_cur, dyex_cur, dyey_cur, d_na, dx_na, dy_na)``.
+    """
+    chans, x_rows, y_cols = dye.shape
+
+    def cost_rows(t: int) -> float:
+        blocks = (6 * chans + 2 + chans) * (t + 2 * _HB) + 0.5 * (t + 2 * _HB)
+        blocks += 6 * chans * t + 0.25 * t
+        return 2 * blocks + 60 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid tile for X={x_rows}"
+        raise ValueError(msg)
+    n_t = x_rows // t
+
+    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+    specs = (
+        h2(chans) + h2(chans) + h2(chans) + h2(chans) + h2(chans) + h2(chans)
+        + h2(2) + h2(chans) + h2(None) + h2(None) + [_center_spec(t, y_cols, None)]
+    )
+    args = (
+        [dye] * 3 + [dye_alt] * 3 + [dyex] * 3 + [dyex_alt] * 3 + [dyey] * 3 + [dyey_alt] * 3
+        + [vel] * 3 + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.not_wall8] * 3
+        + [scene.fluid8]
+    )
+
+    kernel = functools.partial(_cip_dye_kernel, n_t, re, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[_center_spec(t, y_cols, chans)] * 6,
+        out_shape=[out_sd] * 6,
+        interpret=interpret,
+    )(*args)
+
+
+# --- MAC (upwind / KK) phase kernels ----------------------------------------
+
+
+def _mac_velocity_kernel(
+    n_t: int, scheme: str, re: float, dt: float, dx: float,
+    v_c, v_p8, v_n8, p_c, p_p8, p_n8, va_ref,
+    code_c, code_p8, code_n8, const_c, const_p8, const_n8, fluid_ref,
+    v_out, vbc_out,
+):
+    ti = pl.program_id(0)
+
+    halo = 2 if scheme == "kk" else 1
+    ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 2 + halo)
+    pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 1)
+    vac = va_ref[:]
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, halo).astype(jnp.int32)
+    conste = _ext(const_c[:], const_p8[:], const_n8[:], ti, n_t, halo)
+    fluid = fluid_ref[:] != 0
+
+    # BC on rows [-halo, t+halo), re-clamped at grid-edge tiles.
+    uc, wc = _velocity_bc_window(ve[0], ve[1], codee, conste[0], conste[1])
+    uc = _reclamp(uc, ti, n_t, halo)
+    wc = _reclamp(wc, ti, n_t, halo)
+    u_cen = uc[halo:-halo]
+    w_cen = wc[halo:-halo]
+
+    advect = _advect_kk_window if scheme == "kk" else _advect_upwind_window
+    adv_u = advect(u_cen, w_cen, uc, dx)
+    adv_w = advect(u_cen, w_cen, wc, dx)
+
+    gpx, gpy = _grad_pair_window(pe, dx)
+    lap_u = _lap_window(uc[halo - 1 : uc.shape[0] - halo + 1], dx)
+    lap_w = _lap_window(wc[halo - 1 : wc.shape[0] - halo + 1], dx)
+
+    un = u_cen + dt * (-adv_u - gpx + lap_u / re)
+    wn = w_cen + dt * (-adv_w - gpy + lap_w / re)
+
+    v_out[0] = jnp.where(fluid, un, vac[0])
+    v_out[1] = jnp.where(fluid, wn, vac[1])
+    vbc_out[0] = u_cen
+    vbc_out[1] = w_cen
+
+
+def mac_velocity_phase_pallas(
+    v, p, v_alt, scene, scheme: str, re: float, dt: float, dx: float,
+    *, tile_x: int | None = None, interpret: bool = False,
+):
+    """Velocity BC + fused MAC momentum update (``fs/solver.py:79-107``).
+
+    Returns ``(v_cur, vc)`` — the updated velocity (fluid cells; alt
+    elsewhere) and the BC'd pre-step velocity (the new alternate)."""
+    x_rows, y_cols = p.shape
+
+    def cost_rows(t: int) -> float:
+        blocks = 7 * (t + 2 * _HB) + 0.3 * (t + 2 * _HB) + 4 * t + 0.25 * t
+        return 2 * blocks + 40 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid tile for X={x_rows}"
+        raise ValueError(msg)
+    n_t = x_rows // t
+
+    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+    specs = (
+        h2(2) + h2(None) + [_center_spec(t, y_cols, 2)]
+        + h2(None) + h2(2) + [_center_spec(t, y_cols, None)]
+    )
+    args = [v] * 3 + [p] * 3 + [v_alt] + [scene.vbc_code] * 3 + [scene.bc_const] * 3 + [scene.fluid8]
+
+    kernel = functools.partial(_mac_velocity_kernel, n_t, scheme, re, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
+
+    # signature order: v triple, p triple, va center, code triple,
+    # const triple, fluid center
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[_center_spec(t, y_cols, 2)] * 2,
+        out_shape=[out_sd] * 2,
+        interpret=interpret,
+    )(*args)
+
+
+def _mac_dye_kernel(
+    n_t: int, scheme: str, dt: float, dx: float,
+    d_c, d_p8, d_n8, vel_ref, da_ref, bcd_c, bcd_p8, bcd_n8,
+    inflow_c, inflow_p8, inflow_n8, fluid_ref,
+    d_out, dbc_out,
+):
+    ti = pl.program_id(0)
+    chans = d_c.shape[0]
+    halo = 2 if scheme == "kk" else 1
+
+    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, halo).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+    u_cen = vel_ref[0]
+    w_cen = vel_ref[1]
+    advect = _advect_kk_window if scheme == "kk" else _advect_upwind_window
+
+    for c in range(chans):
+        de = _ext(d_c[c], d_p8[c], d_n8[c], ti, n_t, halo)
+        bcde = _ext(bcd_c[c], bcd_p8[c], bcd_n8[c], ti, n_t, halo)
+        dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
+        dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
+        d_out[c] = _clamp01(jnp.where(fluid, dn, da_ref[c]))
+        dbc_out[c] = dc[halo:-halo]
+
+
+def mac_dye_phase_pallas(
+    dye, dye_alt, vel, scene, scheme: str, dt: float, dx: float,
+    *, tile_x: int | None = None, interpret: bool = False,
+):
+    """Dye BC + upwind/KK advection + clamp (``fs/solver.py:149-161``).
+
+    Returns ``(dye_cur, dc)`` — clamped advected dye and the BC'd
+    pre-step dye (the new alternate)."""
+    chans, x_rows, y_cols = dye.shape
+
+    def cost_rows(t: int) -> float:
+        blocks = 2 * chans * (t + 2 * _HB) + 0.3 * (t + 2 * _HB) + (3 * chans + 2) * t
+        return 2 * blocks + 30 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid tile for X={x_rows}"
+        raise ValueError(msg)
+    n_t = x_rows // t
+
+    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+    specs = (
+        h2(chans) + [_center_spec(t, y_cols, 2), _center_spec(t, y_cols, chans)]
+        + h2(chans) + h2(None) + [_center_spec(t, y_cols, None)]
+    )
+    args = [dye] * 3 + [vel, dye_alt] + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.fluid8]
+
+    kernel = functools.partial(_mac_dye_kernel, n_t, scheme, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[_center_spec(t, y_cols, chans)] * 2,
+        out_shape=[out_sd] * 2,
+        interpret=interpret,
+    )(*args)

@@ -100,12 +100,6 @@ def _ext(cur, prev8, next8, ti, n_t, h: int):
     return jnp.concatenate([top, cur, bot], axis=row_ax)
 
 
-def _xv(ext_arr, h: int, t: int, d: int):
-    """Rows shifted by d (|d| ≤ h) from an extended window: a pure
-    static slice."""
-    return ext_arr[..., h + d : h + d + t, :]
-
-
 def _halo_triple_specs(t: int, y: int, n_t: int, lead: int | None, dtype_rows: int = _HB):
     """(cur, prev8, next8) BlockSpecs for one stencil input.
 
@@ -150,6 +144,68 @@ def _center_spec(t: int, y: int, lead: int | None):
 # ---------------------------------------------------------------------------
 
 
+def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float):
+    """CIP advection (fs/solver.py:282-332) on aligned row windows: all
+    inputs cover the same rows with a ±1 halo; returns the (len-2)-row
+    interior (fn, fxn, fyn). Column halos are built in-VMEM."""
+    f, f_xm, f_xp = f_w[1:-1], f_w[:-2], f_w[2:]
+    fx, fx_xm, fx_xp = fx_w[1:-1], fx_w[:-2], fx_w[2:]
+    fy, fy_xm, fy_xp = fy_w[1:-1], fy_w[:-2], fy_w[2:]
+    u, u_xm, u_xp = u_w[1:-1], u_w[:-2], u_w[2:]
+    w, w_xm, w_xp = w_w[1:-1], w_w[:-2], w_w[2:]
+
+    i_s = jnp.where(u < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    j_s = jnp.where(w < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    up_x = jnp.logical_not(u < 0.0)
+    up_y = jnp.logical_not(w < 0.0)
+
+    sel_x = lambda m, p: jnp.where(up_x, m, p)  # noqa: E731
+    sel_y = lambda m, p: jnp.where(up_y, m, p)  # noqa: E731
+
+    f_im = sel_x(f_xm, f_xp)
+    f_jm = sel_y(_sy(f, -1), _sy(f, 1))
+    # Diagonal: both shifts BEFORE the selects, so both upwind masks are
+    # evaluated at the center cell (same pitfall as ops/cip.py::_sel_xy).
+    f_imjm = sel_x(
+        sel_y(_sy(f_xm, -1), _sy(f_xm, 1)),
+        sel_y(_sy(f_xp, -1), _sy(f_xp, 1)),
+    )
+    fx_im = sel_x(fx_xm, fx_xp)
+    fx_jm = sel_y(_sy(fx, -1), _sy(fx, 1))
+    fy_im = sel_x(fy_xm, fy_xp)
+    fy_jm = sel_y(_sy(fy, -1), _sy(fy, 1))
+
+    tmp1 = f - f_jm - f_im + f_imjm
+    tmp2 = f_im - f
+    tmp3 = f_jm - f
+
+    i_s_denom = i_s * dx**3
+    j_s_denom = j_s * dx**3
+
+    a = (i_s * (fx_im + fx) * dx - 2.0 * (-tmp2)) / i_s_denom
+    bb = (j_s * (fy_jm + fy) * dx - 2.0 * (-tmp3)) / j_s_denom
+    cc = (-tmp1 - i_s * (fx_jm - fx) * dx) / j_s_denom
+    dd = (-tmp1 - j_s * (fy_im - fy) * dx) / i_s_denom
+    ee = (3.0 * tmp2 + i_s * (fx_im + 2.0 * fx) * dx) / dx**2
+    ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) / dx**2
+    gg = (-(fy_im - fy) + cc * dx**2) / (i_s * dx)
+
+    X = -u * dt
+    Y = -w * dt
+
+    fn = ((a * X + cc * Y + ee) * X + gg * Y + fx) * X + ((bb * Y + dd * X + ff) * Y + fy) * Y + f
+    Fx = (3.0 * a * X + 2.0 * cc * Y + 2.0 * ee) * X + (dd * Y + gg) * Y + fx
+    Fy = (3.0 * bb * Y + 2.0 * dd * X + 2.0 * ff) * Y + (cc * X + gg) * X + fy
+
+    dudx = 0.5 * (u_xp - u_xm) / dx
+    dwdx = 0.5 * (w_xp - w_xm) / dx
+    dudy = 0.5 * (_sy(u, 1) - _sy(u, -1)) / dx
+    dwdy = 0.5 * (_sy(w, 1) - _sy(w, -1)) / dx
+    fxn = Fx - dt * (Fx * dudx + Fy * dwdx) / 2.0
+    fyn = Fy - dt * (Fx * dudy + Fy * dwdy) / 2.0
+    return fn, fxn, fyn
+
+
 def _cip_kernel(
     n_t: int, dt: float, dx: float, vel_is_f: bool,
     *refs,
@@ -165,29 +221,9 @@ def _cip_kernel(
     ti = pl.program_id(0)
     h = 1
     chans = f3[0].shape[0]
-    t = f3[0].shape[1]
 
-    # Velocity views are shared across channels — compute once.
     ve = _ext(vel3[0][:], vel3[1][:], vel3[2][:], ti, n_t, h)
-    u, u_xm, u_xp = _xv(ve, h, t, 0)[0], _xv(ve, h, t, -1)[0], _xv(ve, h, t, 1)[0]
-    w, w_xm, w_xp = _xv(ve, h, t, 0)[1], _xv(ve, h, t, -1)[1], _xv(ve, h, t, 1)[1]
-
-    i_s = jnp.where(u < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
-    j_s = jnp.where(w < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
-    up_x = jnp.logical_not(u < 0.0)
-    up_y = jnp.logical_not(w < 0.0)
-    i_s_denom = i_s * dx**3
-    j_s_denom = j_s * dx**3
-    X = -u * dt
-    Y = -w * dt
-    dudx = 0.5 * (u_xp - u_xm) / dx
-    dwdx = 0.5 * (w_xp - w_xm) / dx
-    dudy = 0.5 * (_sy(u, 1) - _sy(u, -1)) / dx
-    dwdy = 0.5 * (_sy(w, 1) - _sy(w, -1)) / dx
     fluid = fluid_ref[:] != 0
-
-    sel_x = lambda m, p: jnp.where(up_x, m, p)  # noqa: E731
-    sel_y = lambda m, p: jnp.where(up_y, m, p)  # noqa: E731
 
     # Per-channel compute keeps kernel temporaries (t, Y)-sized — the
     # whole-block (C, t, Y) expression DAG would overflow Mosaic's VMEM
@@ -197,45 +233,7 @@ def _cip_kernel(
         fxe = _ext(fx3[0][c], fx3[1][c], fx3[2][c], ti, n_t, h)
         fye = _ext(fy3[0][c], fy3[1][c], fy3[2][c], ti, n_t, h)
 
-        f, f_xm, f_xp = _xv(fe, h, t, 0), _xv(fe, h, t, -1), _xv(fe, h, t, 1)
-        fx, fx_xm, fx_xp = _xv(fxe, h, t, 0), _xv(fxe, h, t, -1), _xv(fxe, h, t, 1)
-        fy, fy_xm, fy_xp = _xv(fye, h, t, 0), _xv(fye, h, t, -1), _xv(fye, h, t, 1)
-
-        f_im = sel_x(f_xm, f_xp)
-        f_jm = sel_y(_sy(f, -1), _sy(f, 1))
-        # Diagonal: both shifts BEFORE the selects, so both upwind masks
-        # are evaluated at the center cell (same pitfall as _sel_xy).
-        f_imjm = sel_x(
-            sel_y(_sy(f_xm, -1), _sy(f_xm, 1)),
-            sel_y(_sy(f_xp, -1), _sy(f_xp, 1)),
-        )
-        fx_im = sel_x(fx_xm, fx_xp)
-        fx_jm = sel_y(_sy(fx, -1), _sy(fx, 1))
-        fy_im = sel_x(fy_xm, fy_xp)
-        fy_jm = sel_y(_sy(fy, -1), _sy(fy, 1))
-
-        tmp1 = f - f_jm - f_im + f_imjm
-        tmp2 = f_im - f
-        tmp3 = f_jm - f
-
-        a = (i_s * (fx_im + fx) * dx - 2.0 * (-tmp2)) / i_s_denom
-        bb = (j_s * (fy_jm + fy) * dx - 2.0 * (-tmp3)) / j_s_denom
-        cc = (-tmp1 - i_s * (fx_jm - fx) * dx) / j_s_denom
-        dd = (-tmp1 - j_s * (fy_im - fy) * dx) / i_s_denom
-        ee = (3.0 * tmp2 + i_s * (fx_im + 2.0 * fx) * dx) / dx**2
-        ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) / dx**2
-        gg = (-(fy_im - fy) + cc * dx**2) / (i_s * dx)
-
-        fn = (
-            ((a * X + cc * Y + ee) * X + gg * Y + fx) * X
-            + ((bb * Y + dd * X + ff) * Y + fy) * Y
-            + f
-        )
-        Fx = (3.0 * a * X + 2.0 * cc * Y + 2.0 * ee) * X + (dd * Y + gg) * Y + fx
-        Fy = (3.0 * bb * Y + 2.0 * dd * X + 2.0 * ff) * Y + (cc * X + gg) * X + fy
-
-        fxn = Fx - dt * (Fx * dudx + Fy * dwdx) / 2.0
-        fyn = Fy - dt * (Fx * dudy + Fy * dwdy) / 2.0
+        fn, fxn, fyn = cip_advect_window_expr(fe, fxe, fye, ve[0], ve[1], dt, dx)
 
         fn_ref[c] = jnp.where(fluid, fn, alt_f[c])
         fxn_ref[c] = jnp.where(fluid, fxn, alt_fx[c])

@@ -53,6 +53,12 @@ class Scene(NamedTuple):
     vbc_targets: jnp.ndarray  # (4, X, Y) bool ghost-velocity target masks
     pbc_code: jnp.ndarray  # (X, Y) int8 pressure pattern code 0..10
     fluid8: jnp.ndarray  # (X, Y) int8 fluid mask (Pallas kernels' layout)
+    not_wall8: jnp.ndarray  # (X, Y) int8 ¬wall mask
+    inflow8: jnp.ndarray  # (X, Y) int8 inflow mask
+    vbc_code: jnp.ndarray  # (X, Y) int8 velocity-BC action: 0 none,
+    # 1..4 ghost pattern (priority 4>3>2>1 like the runtime where-chain),
+    # 5 inflow, 6 outflow. Equivalent to vbc_targets + mask codes for all
+    # scenes where ghost targets don't overlap inflow/outflow cells.
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -148,6 +154,13 @@ def compile_scene(bc: np.ndarray, bc_mask: np.ndarray, bc_dye: np.ndarray) -> Sc
     parity = (np.add.outer(np.arange(mask.shape[0]), np.arange(mask.shape[1])) % 2).astype(bool)
     fluid = mask == 0
 
+    targets = _velocity_ghost_targets(mask)
+    vbc_code = np.zeros(mask.shape, dtype=np.int8)
+    for k in range(4):  # ascending: later patterns overwrite (4 > 3 > 2 > 1)
+        vbc_code[targets[k]] = k + 1
+    vbc_code[mask == 2] = 5
+    vbc_code[mask == 3] = 6
+
     return Scene(
         bc_const=jnp.asarray(np.moveaxis(bc.astype(np.float32), -1, 0)),
         bc_dye=jnp.asarray(np.moveaxis(bc_dye.astype(np.float32), -1, 0)),
@@ -159,9 +172,12 @@ def compile_scene(bc: np.ndarray, bc_mask: np.ndarray, bc_dye: np.ndarray) -> Sc
         outflow=jnp.asarray(mask == 3),
         odd_fluid=jnp.asarray(fluid & parity),
         even_fluid=jnp.asarray(fluid & ~parity),
-        vbc_targets=jnp.asarray(_velocity_ghost_targets(mask)),
+        vbc_targets=jnp.asarray(targets),
         pbc_code=jnp.asarray(_pressure_codes(mask)),
         fluid8=jnp.asarray(fluid.astype(np.int8)),
+        not_wall8=jnp.asarray((mask != 1).astype(np.int8)),
+        inflow8=jnp.asarray((mask == 2).astype(np.int8)),
+        vbc_code=jnp.asarray(vbc_code),
     )
 
 
