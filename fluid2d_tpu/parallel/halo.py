@@ -1,0 +1,164 @@
+"""Explicit halo-exchange scaling path (shard_map + lax.ppermute).
+
+The GSPMD path (:mod:`fluid2d_tpu.parallel.sharding`) lets XLA insert a
+collective per shifted read — correct, but one small ICI transfer per
+stencil op. This module implements the classic **ghost-zone redundant
+compute** design instead: each device owns an X-slab extended by H ghost
+rows per side; ONE neighbor exchange per time step refreshes the ghosts,
+the whole unmodified step function (jnp or Pallas phase kernels) runs on
+the extended slab, and the ghost rows are sliced off. Cells within the
+ghost region compute polluted values (the slab edge clamps like a global
+edge), but the pollution reaches at most the step's total stencil depth
+— H is chosen above it — so every interior row is exactly what a
+single-device run produces.
+
+Stencil-depth accounting per step (rows of influence):
+  velocity BC (±2) → non-advection (±1) → gradients (±1) → CIP advection
+  (±1) = 5; vorticity confinement +2; each SOR iteration +3 (BC + odd +
+  even). Dye chain ≤ that of velocity. With the default 2 SOR iterations
+  the depth is 13; H rounds up to a multiple of 8 (Pallas tile math).
+
+The exchange itself is a pair of ``lax.ppermute`` shifts of H-row slabs
+over the mesh axis — contiguous ICI neighbor traffic, exactly the
+communication pattern a spatially-decomposed stencil code wants.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.scenes.compile import Scene
+from fluid2d_tpu.state import SimState
+
+__all__ = ["ghost_width", "exchange_ghosts", "make_sharded_run_halo"]
+
+AXIS = "x"
+
+
+def ghost_width(cfg: SimConfig) -> int:
+    """Ghost rows per side: the step's stencil-depth bound rounded up to
+    a multiple of 8 (so Pallas tile sizes stay valid)."""
+    depth = 5  # BC(2) + non-advection(1) + gradients(1) + advection(1)
+    if cfg.vor_eps is not None:
+        depth += 2
+    depth += 3 * cfg.n_pressure_iter
+    return 8 * math.ceil(depth / 8)
+
+
+def _is_grid_leaf(leaf) -> bool:
+    return getattr(leaf, "ndim", 0) >= 2
+
+
+def exchange_ghosts(arr, h: int, n_dev: int):
+    """Inside shard_map: build each shard's (…, X_loc + 2h, Y) working
+    window from neighbor rows via ``ppermute``.
+
+    The window is row-SHIFTED at the mesh ends (like the Pallas tile
+    windows): shard 0's window starts at the true global row 0 and takes
+    2h rows from the next shard; the last shard mirrors that. This way
+    the step's clamp-to-edge at the slab boundary coincides with the
+    REAL global edge — edge-replicated ghosts would not, because
+    replicating raw inputs does not commute with the computation
+    (computed quantities like the CIP non-advection result have nonzero
+    x-derivatives at the edge that a replicated neighborhood zeroes out).
+    Use :func:`window_offset` to locate the owned rows in the window.
+    """
+    idx = jax.lax.axis_index(AXIS)
+    top2 = arr[..., : 2 * h, :]  # sent downward (to idx-1)
+    bot2 = arr[..., -2 * h :, :]  # sent upward (to idx+1)
+    from_prev = jax.lax.ppermute(bot2, AXIS, [(i, i + 1) for i in range(n_dev - 1)])
+    from_next = jax.lax.ppermute(top2, AXIS, [(i + 1, i) for i in range(n_dev - 1)])
+
+    first = jnp.concatenate([arr, from_next], axis=-2)  # rows [0, L+2h)
+    mid = jnp.concatenate([from_prev[..., -h:, :], arr, from_next[..., :h, :]], axis=-2)
+    last = jnp.concatenate([from_prev, arr], axis=-2)  # rows [X-L-2h, X)
+    return jnp.where(idx == 0, first, jnp.where(idx == n_dev - 1, last, mid))
+
+
+def window_offset(h: int, n_dev: int):
+    """Row offset of the owned slab inside its working window."""
+    idx = jax.lax.axis_index(AXIS)
+    return jnp.where(idx == 0, 0, jnp.where(idx == n_dev - 1, 2 * h, h))
+
+
+def _strip(arr, h: int, n_dev: int, x_loc: int):
+    b = window_offset(h, n_dev)
+    return jax.lax.dynamic_slice_in_dim(arr, b, x_loc, axis=arr.ndim - 2)
+
+
+def make_sharded_run_halo(cfg: SimConfig, mesh: Mesh, h: int | None = None):
+    """(state, scene, n) → state over `n` steps with ONE explicit ghost
+    exchange per step. `state` is sharded along X over `mesh`; `scene`
+    may be sharded or replicated (it is gathered into per-shard
+    ghost-extended slabs once, outside the time loop).
+
+    Equivalent to the single-device run up to FP reordering; the Pallas
+    phase kernels run per-shard unmodified.
+    """
+    from fluid2d_tpu.models.simulator import make_run_fn, step_fn_for
+
+    step = step_fn_for(cfg)
+    n_dev = mesh.devices.size
+    if n_dev == 1:
+        return make_run_fn(cfg)  # no decomposition — plain single-device run
+    if h is None:
+        h = ghost_width(cfg)
+
+    def extend_scene(scene_slab: Scene) -> Scene:
+        return jax.tree.map(
+            lambda a: exchange_ghosts(a, h, n_dev) if _is_grid_leaf(a) else a, scene_slab
+        )
+
+    def shard_body(state_slab: SimState, scene_ext: Scene, n: int) -> SimState:
+        x_loc = state_slab.p.shape[-2]
+
+        def body(st, _):
+            ext = jax.tree.map(
+                lambda a: exchange_ghosts(a, h, n_dev) if _is_grid_leaf(a) else a, st
+            )
+            out = step(ext, scene_ext)
+            out = jax.tree.map(
+                lambda a: _strip(a, h, n_dev, x_loc) if _is_grid_leaf(a) else a, out
+            )
+            return out, None
+
+        final, _ = jax.lax.scan(body, state_slab, None, length=n)
+        return final
+
+    grid_spec = lambda leaf: P(*([None] * (leaf.ndim - 2)), AXIS, None)  # noqa: E731
+
+    def specs_for(tree):
+        return jax.tree.map(
+            lambda leaf: grid_spec(leaf) if _is_grid_leaf(leaf) else P(), tree
+        )
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def run(state: SimState, scene: Scene, n: int) -> SimState:
+        x_rows = state.p.shape[-2]
+        if x_rows % n_dev != 0 or x_rows // n_dev < 2 * h:
+            msg = (
+                f"grid X={x_rows} must split into ≥{2 * h}-row slabs "
+                f"across {n_dev} devices (ghost width {h})"
+            )
+            raise ValueError(msg)
+        state_specs = specs_for(state)
+        scene_specs = specs_for(scene)
+        scene_ext = shard_map(
+            extend_scene, mesh=mesh, in_specs=(scene_specs,), out_specs=scene_specs
+        )(scene)
+        return shard_map(
+            functools.partial(shard_body, n=n),
+            mesh=mesh,
+            in_specs=(state_specs, scene_specs),
+            out_specs=state_specs,
+            check_rep=False,
+        )(state, scene_ext)
+
+    return run

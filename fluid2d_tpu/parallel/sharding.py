@@ -23,10 +23,15 @@ __all__ = ["make_mesh", "shard_leaf", "shard_pytree", "shard_simulator"]
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the first `n_devices` (default: all)."""
+    """1-D mesh over the first `n_devices` (default: all). Raises if
+    fewer devices exist than requested — a silently smaller mesh makes
+    'sharded == single-device' checks vacuously pass."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            msg = f"requested {n_devices} devices, only {len(devices)} available"
+            raise ValueError(msg)
         devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names=("x",))
 

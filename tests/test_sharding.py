@@ -46,6 +46,39 @@ def test_sharded_matches_single_device(scheme):
         np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0, err_msg=name)
 
 
+@pytest.mark.parametrize("scheme", ["cip", "kk"])
+def test_halo_exchange_run_matches_single_device(scheme):
+    """Explicit shard_map + ppermute ghost-window path (parallel/halo.py)
+    vs the single-device run: one neighbor exchange per step, shifted
+    windows at the mesh ends, redundant ghost-zone compute."""
+    from fluid2d_tpu.parallel.halo import ghost_width, make_sharded_run_halo
+
+    res = 128  # grid (256, 128): X_loc=32 ≥ 2·ghost_width
+    cfg = SimConfig.create(resolution=res, re=1000.0, scheme=scheme,
+                           vor_eps=5.0, enable_dye=True)
+    assert 256 // 8 >= 2 * ghost_width(cfg)
+    _, mask, _ = build_scene_arrays(2, res)
+    scene = get_scene(2, res)
+    fields = _random_fields(mask, True, scheme == "cip", seed=7)
+
+    ref = make_run_fn(cfg)(
+        _seed_state(init_state(scene, cfg), fields), scene, 6
+    )
+    mesh = make_mesh(8)
+    run_h = make_sharded_run_halo(cfg, mesh)
+    got = run_h(
+        shard_pytree(_seed_state(init_state(scene, cfg), fields), mesh),
+        shard_pytree(scene, mesh),
+        6,
+    )
+    for name, a, b in zip(ref._fields, ref, got):
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0, err_msg=name)
+
+
 def test_sharded_output_keeps_sharding():
     res = 32
     cfg = SimConfig.create(resolution=res, scheme="upwind", vor_eps=None, enable_dye=False)
