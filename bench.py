@@ -59,7 +59,16 @@ def main() -> None:
     parser.add_argument("--scheme", type=str, default="cip", choices=["upwind", "kk", "cip"])
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--all", action="store_true", help="Print a side table of configs")
+    parser.add_argument("--roofline", action="store_true",
+                        help="Print measured-HBM roofline accounting to stderr")
     args = parser.parse_args()
+
+    if args.roofline:
+        from fluid2d_tpu.utils.profiling import roofline_report
+
+        rep = roofline_report(args.res, args.scheme, args.steps)
+        for k, v in rep.items():
+            print(f"# {k}: {v:.2f}", file=sys.stderr)
 
     if args.all:
         for res in (400, 800, 1600):

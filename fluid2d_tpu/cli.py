@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Log steps/sec and field diagnostics every N steps")
     parser.add_argument("--shard", type=int, default=0,
                         help="Shard the grid over N devices (0 = single device)")
+    parser.add_argument("--mask-image", type=str, default="",
+                        help="Obstacle silhouette: a grayscale image path or a "
+                             "bundled asset name (dragon, rabbit, aircraft); "
+                             "replaces the -bc scene")
+    parser.add_argument("--interactive", action="store_true",
+                        help="Open an interactive window (needs a display); "
+                             "keys: p pause, v cycle vis, s screenshot, d dump, q quit")
     return parser
 
 
@@ -101,7 +108,9 @@ def main(argv: list[str] | None = None) -> None:
             sor_omega=args.sor_omega,
             n_pressure_iter=args.pressure_iters,
         )
-        sim = FluidSimulator(get_scene(args.boundary_condition, args.resolution), cfg)
+        scene = get_scene(args.boundary_condition, args.resolution,
+                          mask_image=args.mask_image or None)
+        sim = FluidSimulator(scene, cfg)
 
     if args.shard:
         from fluid2d_tpu.parallel.sharding import shard_simulator
@@ -114,6 +123,13 @@ def main(argv: list[str] | None = None) -> None:
         f"Resolution: {cfg.resolution}\nScheme: {cfg.scheme}\n"
         f"Vorticity confinement: {cfg.vor_eps}"
     )
+
+    if args.interactive:
+        from fluid2d_tpu.utils.viewer import run_viewer
+
+        run_viewer(sim, vis=args.visualization, output_dir=args.output,
+                   max_steps=args.steps or None)
+        return
 
     out_dir = Path(args.output)
     chunk = args.frame_every or args.log_every or args.steps

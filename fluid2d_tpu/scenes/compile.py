@@ -181,10 +181,12 @@ def compile_scene(bc: np.ndarray, bc_mask: np.ndarray, bc_dye: np.ndarray) -> Sc
     )
 
 
-def get_scene(num: int, resolution: int) -> Scene:
+def get_scene(num: int, resolution: int, mask_image=None) -> Scene:
     """Build and compile built-in scene `num` (1..6) at y-resolution
     `resolution` (parity surface: ``get_boundary_condition``,
-    ``fs/boundary_condition.py:201-219``)."""
+    ``fs/boundary_condition.py:201-219``). `mask_image` (path or bundled
+    asset name "dragon"/"rabbit"/"aircraft") swaps in a custom obstacle
+    silhouette scene."""
     from fluid2d_tpu.scenes.scenes import build_scene_arrays
 
-    return compile_scene(*build_scene_arrays(num, resolution))
+    return compile_scene(*build_scene_arrays(num, resolution, mask_image=mask_image))

@@ -169,13 +169,39 @@ def _scene6(x_res: int, y_res: int):
     return bc, mask, dye
 
 
+def _image_scene(x_res: int, y_res: int, image_path) -> tuple:
+    """Scene-6 layout with an arbitrary obstacle silhouette image —
+    generalizes the reference's hardwired dragon (rabbit.png and
+    aircraft.png ship as assets, any grayscale image works)."""
+    bc, mask, dye = new_scene_arrays(x_res, y_res)
+    bc[:2, :] = [1.0, 0.0]
+    mask[:2, :] = 2
+    ramp = color_ramp([_CYAN, _RED, _BLUE, _YELLOW], y_res)
+    dye[:2, :] = np.stack((ramp, ramp), axis=0)
+    bc[-1, :] = 0.0
+    mask[-1, :] = 3
+    paint_box(bc, mask, dye, (0, 0), (x_res, 2))
+    paint_box(bc, mask, dye, (0, y_res - 2), (x_res, y_res))
+    paint_mask_image(bc, mask, dye, image_path)
+    return bc, mask, dye
+
+
 SCENE_BUILDERS = {1: _scene1, 2: _scene2, 3: _scene3, 4: _scene4, 5: _scene5, 6: _scene6}
 
 
-def build_scene_arrays(num: int, resolution: int):
+def build_scene_arrays(num: int, resolution: int, mask_image=None):
     """Raw (bc, bc_mask, bc_dye) NumPy arrays for scene `num` at y-resolution
     `resolution`; the grid is (2·resolution, resolution) like the reference
-    (``fs/boundary_condition.py:201-219``)."""
+    (``fs/boundary_condition.py:201-219``). `mask_image` (a path) replaces
+    scene 6's obstacle silhouette — or names a bundled asset
+    ("dragon", "rabbit", "aircraft")."""
+    if mask_image is not None:
+        from pathlib import Path
+
+        path = Path(mask_image)
+        if not path.suffix:
+            path = ASSET_DIR / f"{mask_image}.png"
+        return _image_scene(2 * resolution, resolution, path)
     if num not in SCENE_BUILDERS:
         msg = f"Unknown boundary-condition scene: {num} (valid: 1..6)"
         raise ValueError(msg)

@@ -1,0 +1,136 @@
+"""Performance measurement: step timing, roofline accounting, traces.
+
+SURVEY.md §5 notes the reference has no profiling at all; the BASELINE
+asks the stencil path to be measured against the HBM roofline. Absolute
+spec sheets lie about remote/tunneled chips, so the roofline here is
+*measured*: the achievable elementwise HBM bandwidth is benchmarked on
+the same device (scan-amortized, large arrays), and the step's minimal
+byte traffic is derived from the state layout — % of roofline is then
+(minimal bytes / step time) / achievable bandwidth.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.state import SimState
+
+__all__ = [
+    "sync",
+    "time_steps",
+    "measure_hbm_bandwidth",
+    "step_min_bytes",
+    "roofline_report",
+    "trace",
+]
+
+
+def sync(state: SimState) -> None:
+    """Fence execution with a real device→host transfer
+    (``block_until_ready`` alone does not fence remote-tunnel runtimes)."""
+    float(np.asarray(state.v.ravel()[0]))
+
+
+def time_steps(run, state, scene, n: int) -> tuple[float, SimState]:
+    """Seconds per step for a compiled `run(state, scene, n)`; compiles
+    on a warmup call with the same static n."""
+    state = run(state, scene, n)
+    sync(state)
+    t0 = time.perf_counter()
+    state = run(state, scene, n)
+    sync(state)
+    return (time.perf_counter() - t0) / n, state
+
+
+def measure_hbm_bandwidth(mbytes: int = 128, iters: int = 30) -> float:
+    """Achievable elementwise HBM bandwidth (bytes/s, 1R+1W) on the
+    current default device, scan-amortized."""
+    n = mbytes * 2**20 // 4
+    f = jnp.ones((n // 2048, 2048), jnp.float32)
+
+    @jax.jit
+    def loop(f):
+        def body(x, _):
+            return x * 1.000001 + 0.5, None
+
+        out, _ = jax.lax.scan(body, f, None, length=iters)
+        return out
+
+    out = loop(f)
+    float(np.asarray(out[0, 0]))
+    t0 = time.perf_counter()
+    out = loop(f)
+    float(np.asarray(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * f.size * 4 / dt
+
+
+def step_min_bytes(cfg: SimConfig, x_rows: int, y_cols: int) -> int:
+    """Lower bound on HBM bytes one step must move: every carried array
+    written once + each phase's inputs read once."""
+    cell = x_rows * y_cols * 4
+    if cfg.scheme == "cip":
+        writes = 2 * 6  # v/vx/vy cur+na
+        reads = 2 * 7 + 1  # v, p, v_alt, grads+alts, masks-ish
+    else:
+        writes = 2 * 2
+        reads = 2 * 3 + 1
+    if cfg.vor_eps is not None:
+        writes += 2
+        reads += 2
+    # pressure: per iteration read p, p_alt, u, w; write pn, pc
+    writes += 2 * cfg.n_pressure_iter
+    reads += 4 * cfg.n_pressure_iter
+    writes += 2  # limiter
+    reads += 2
+    if cfg.enable_dye:
+        chans = 3
+        if cfg.scheme == "cip":
+            writes += chans * 6
+            reads += chans * 6 + 2
+        else:
+            writes += chans * 2
+            reads += chans * 2 + 2
+    return (writes + reads) * cell
+
+
+def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100) -> dict:
+    """Measure steps/s and % of the measured HBM roofline."""
+    from fluid2d_tpu.models.simulator import make_run_fn
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.state import init_state
+
+    cfg = SimConfig.create(resolution=res, scheme=scheme, vor_eps=5.0, enable_dye=True)
+    scene = get_scene(2, res)
+    state = init_state(scene, cfg)
+    run = make_run_fn(cfg)
+
+    sec_per_step, _ = time_steps(run, state, scene, steps)
+    bw = measure_hbm_bandwidth()
+    min_bytes = step_min_bytes(cfg, 2 * res, res)
+    achieved = min_bytes / sec_per_step
+    return {
+        "steps_per_sec": 1.0 / sec_per_step,
+        "ms_per_step": sec_per_step * 1e3,
+        "measured_hbm_GBps": bw / 1e9,
+        "min_traffic_MB_per_step": min_bytes / 2**20,
+        "roofline_ms_per_step": min_bytes / bw * 1e3,
+        "pct_of_roofline": 100.0 * achieved / bw,
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/fluid2d_trace"):
+    """jax.profiler trace capture around a block (view with TensorBoard
+    or xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
