@@ -25,6 +25,10 @@ __all__ = [
 
 ASSET_DIR = Path(__file__).parent / "assets"
 
+# Native C++ rasterizer (fluid2d_tpu/runtime): used when buildable,
+# bit-identical to the NumPy paths (tested); set False to force NumPy.
+USE_NATIVE = True
+
 
 def new_scene_arrays(x_res: int, y_res: int):
     """Zero-initialized (bc, bc_mask, bc_dye) arrays
@@ -54,6 +58,8 @@ def paint_circle(bc, bc_mask, bc_dye, center, radius: float) -> None:
     (i+0.5, j+0.5) is strictly inside the circle. ``round`` is
     round-half-to-even in both NumPy and the reference's Python ``round``.
     """
+    if _native_paint_circle(bc, bc_mask, bc_dye, center, radius):
+        return
     center_arr = np.asarray(center, dtype=np.float64)
     lo = np.round(np.maximum(center_arr - radius, 0)).astype(np.int64)
     u0 = round(min(center[0] + radius, bc.shape[0]))
@@ -61,11 +67,32 @@ def paint_circle(bc, bc_mask, bc_dye, center, radius: float) -> None:
     if u0 <= lo[0] or u1 <= lo[1]:
         return
     ii, jj = np.meshgrid(np.arange(lo[0], u0), np.arange(lo[1], u1), indexing="ij")
-    inside = np.hypot(ii + 0.5 - center[0], jj + 0.5 - center[1]) < radius
+    dx = ii + 0.5 - center[0]
+    dy = jj + 0.5 - center[1]
+    # sqrt of sum of squares, matching the reference's np.linalg.norm
+    # (np.hypot can differ by an ulp at knife-edge cells).
+    inside = np.sqrt(dx * dx + dy * dy) < radius
     sub = (slice(lo[0], u0), slice(lo[1], u1))
     bc[sub][inside] = 0.0
     bc_mask[sub][inside] = 1
     bc_dye[sub][inside] = 0.0
+
+
+def _native_paint_circle(bc, bc_mask, bc_dye, center, radius: float) -> bool:
+    """Rasterize via the C++ runtime when available and the arrays are
+    contiguous; returns False to fall back to NumPy."""
+    if not USE_NATIVE:
+        return False
+    from fluid2d_tpu.runtime import load_rasterizer
+
+    lib = load_rasterizer()
+    if lib is None or not (
+        bc.flags.c_contiguous and bc_mask.flags.c_contiguous and bc_dye.flags.c_contiguous
+    ):
+        return False
+    circ = np.array([[center[0], center[1], radius]], dtype=np.float64)
+    lib.raster_circles(bc_mask, bc, bc_dye, bc.shape[0], bc.shape[1], circ, 1)
+    return True
 
 
 def paint_box(bc, bc_mask, bc_dye, lower_left, upper_right) -> None:
