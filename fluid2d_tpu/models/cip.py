@@ -21,16 +21,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from fluid2d_tpu.config import SimConfig
-from fluid2d_tpu.models.common import update_pressure, use_pallas
+from fluid2d_tpu.models.common import confinement, update_pressure_and_limit, use_pallas
 from fluid2d_tpu.ops.cip import (
     cip_advect,
     non_advection_diffusion,
     non_advection_grad,
     non_advection_velocity,
 )
-from fluid2d_tpu.ops.limiters import clamp_field, limit_vector_norm
+from fluid2d_tpu.ops.limiters import clamp_field
 from fluid2d_tpu.ops.pallas_phases import cip_dye_phase_pallas, cip_velocity_phase_pallas
-from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
@@ -86,11 +85,9 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
         v_alt, vx_alt, vy_alt = v_na, vx_na, vy_na
 
     if cfg.vor_eps is not None:
-        v_cur, v_alt = apply_confinement(v_cur, v_alt, fl, dt, cfg.vor_eps, dx)
+        v_cur, v_alt = confinement(v_cur, v_alt, scene, cfg)
 
-    p_cur, p_alt = update_pressure(state.p, state.p_alt, v_cur, scene, cfg)
-
-    v_cur = limit_vector_norm(v_cur, cfg.velocity_limit)
+    p_cur, p_alt, v_cur = update_pressure_and_limit(state.p, state.p_alt, v_cur, scene, cfg)
 
     kw = dict(
         step=state.step + 1,

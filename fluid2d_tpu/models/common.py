@@ -7,12 +7,21 @@ import jax
 import jax.numpy as jnp
 
 from fluid2d_tpu.config import SimConfig
+from fluid2d_tpu.ops.limiters import limit_vector_norm
 from fluid2d_tpu.ops.pallas_stencil import pick_tile, sor_iteration_pallas
 from fluid2d_tpu.ops.pressure import jacobi_pressure_iteration, sor_pressure_iteration
 from fluid2d_tpu.ops.stencil import diff2_x, diff2_y, diff_x, diff_y
+from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
 
-__all__ = ["update_pressure", "pressure_gradient", "laplacian", "use_pallas"]
+__all__ = [
+    "update_pressure",
+    "update_pressure_and_limit",
+    "confinement",
+    "pressure_gradient",
+    "laplacian",
+    "use_pallas",
+]
 
 
 def use_pallas(cfg: SimConfig, x_rows: int) -> bool:
@@ -65,3 +74,40 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
         return pair
     pair, _ = jax.lax.scan(one, (p_cur, p_alt), None, length=cfg.n_pressure_iter)
     return pair
+
+
+def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
+    """Pressure iterations + the velocity-norm limiter
+    (``fs/solver.py:87-89``: all iterations read the same pre-limit v;
+    the limiter applies after). On the Pallas SOR path the limiter is
+    folded into the FINAL iteration (u/w tiles already in VMEM).
+    Returns ``(p_cur, p_alt, v_limited)``."""
+    sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
+    if sor_pallas and cfg.n_pressure_iter >= 1 and cfg.n_pressure_iter <= 4:
+        interp = cfg.kernels == "pallas_interpret"
+        for _ in range(cfg.n_pressure_iter - 1):
+            p_cur, p_alt = sor_iteration_pallas(
+                p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
+                cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
+            )
+        p_cur, p_alt, v_lim = sor_iteration_pallas(
+            p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
+            cfg.sor_omega, cfg.dt, cfg.dx,
+            v_limit=cfg.velocity_limit, interpret=interp,
+        )
+        return p_cur, p_alt, v_lim
+    p_cur, p_alt = update_pressure(p_cur, p_alt, v, scene, cfg)
+    return p_cur, p_alt, limit_vector_norm(v, cfg.velocity_limit)
+
+
+def confinement(v_cur, v_alt, scene: Scene, cfg: SimConfig):
+    """Vorticity confinement + swap (``fs/solver.py:84-86``), fused
+    Pallas kernel on TPU."""
+    if use_pallas(cfg, v_cur.shape[-2]):
+        from fluid2d_tpu.ops.pallas_phases import confinement_pallas
+
+        return confinement_pallas(
+            v_cur, v_alt, scene.fluid8, cfg.dt, cfg.vor_eps, cfg.dx,
+            interpret=(cfg.kernels == "pallas_interpret"),
+        )
+    return apply_confinement(v_cur, v_alt, scene.fluid, cfg.dt, cfg.vor_eps, cfg.dx)

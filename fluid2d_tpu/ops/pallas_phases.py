@@ -411,6 +411,91 @@ def cip_dye_phase_pallas(
     )(*args)
 
 
+# --- vorticity confinement kernel --------------------------------------------
+
+
+def _confinement_kernel(
+    n_t: int, dt: float, weight: float, dx: float,
+    v_c, v_p8, v_n8, va_ref, fl_c, fl_p8, fl_n8,
+    vn_ref,
+):
+    ti = pl.program_id(0)
+
+    ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 2)  # rows [-2, t+2)
+    fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, 1).astype(jnp.int32)
+    fluid_mid = fle != 0  # rows [-1, t+1)
+
+    # ω = ∂w/∂x − ∂u/∂y on rows [-1, t+1); zero at non-fluid (the
+    # reference's persistent fields are written at fluid cells only and
+    # start at zero — fs/vorticity_confinement.py:27-32).
+    u_w, w_w = ve[0], ve[1]
+    curl = 0.5 * (w_w[2:] - w_w[:-2]) / dx - 0.5 * (_sy(u_w[1:-1], 1) - _sy(u_w[1:-1], -1)) / dx
+    vort = jnp.where(fluid_mid, curl, 0.0)
+    vabs = jnp.where(fluid_mid, jnp.abs(curl), 0.0)
+    # But clamp-of-computed at the global edges: vabs' halo rows must
+    # replicate the true edge rows for the gradient below.
+    vort = _reclamp(vort, ti, n_t, 1)
+    vabs = _reclamp(vabs, ti, n_t, 1)
+
+    gx = 0.5 * (vabs[2:] - vabs[:-2]) / dx
+    vac = vabs[1:-1]
+    gy = 0.5 * (_sy(vac, 1) - _sy(vac, -1)) / dx
+    norm = jnp.sqrt(gx * gx + gy * gy)
+    nx = gx / norm  # unguarded on purpose: 0/0 → NaN → clamp (PARITY.md §4)
+    ny = gy / norm
+    vort_c = vort[1:-1]
+    fx = ny * vort_c
+    fy = -nx * vort_c
+    clamp = lambda x: jnp.minimum(  # noqa: E731  (fmin/fmax NaN → +0.1)
+        jnp.where(jnp.isnan(x), jnp.float32(0.1), jnp.maximum(x, jnp.float32(-0.1))),
+        jnp.float32(0.1),
+    )
+    fx = clamp(fx)
+    fy = clamp(fy)
+
+    fluid = fluid_mid[1:-1]
+    u_c = u_w[2:-2]
+    w_c = w_w[2:-2]
+    vn_ref[0] = jnp.where(fluid, u_c + dt * weight * fx, va_ref[0])
+    vn_ref[1] = jnp.where(fluid, w_c + dt * weight * fy, va_ref[1])
+
+
+def confinement_pallas(
+    v, v_alt, fluid8, dt: float, weight: float, dx: float,
+    *, tile_x: int | None = None, interpret: bool = False,
+):
+    """Fused vorticity confinement (fs/vorticity_confinement.py): returns
+    the new current buffer (fluid cells updated, alt elsewhere); the new
+    alternate is the input `v` (pure pass-through, no copy needed)."""
+    x_rows, y_cols = fluid8.shape
+
+    def cost_rows(t: int) -> float:
+        blocks = 2 * (t + 2 * _HB) + 2 * t + 0.3 * (t + 2 * _HB) + 2 * t
+        return 2 * blocks + 30 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid tile for X={x_rows}"
+        raise ValueError(msg)
+    n_t = x_rows // t
+
+    specs = (
+        _halo_triple_specs(t, y_cols, n_t, 2)
+        + [_center_spec(t, y_cols, 2)]
+        + _halo_triple_specs(t, y_cols, n_t, None)
+    )
+    kernel = functools.partial(_confinement_kernel, n_t, dt, weight, dx)
+    vn = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[_center_spec(t, y_cols, 2)],
+        out_shape=[jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        interpret=interpret,
+    )(v, v, v, v_alt, fluid8, fluid8, fluid8)[0]
+    return vn, v
+
+
 # --- MAC (upwind / KK) phase kernels ----------------------------------------
 
 

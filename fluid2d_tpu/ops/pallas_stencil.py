@@ -345,10 +345,10 @@ def _predict_p_expr(p, u, w, dt: float, dx: float):
 
 
 def _sor_kernel(
-    n_t: int, omega: float, dt: float, dx: float,
+    n_t: int, omega: float, dt: float, dx: float, v_limit: float | None,
     p_c, p_p8, p_n8, pa_c, pa_p8, pa_n8, u_c, u_p8, u_n8, w_c, w_p8, w_n8,
     code_c, code_p8, code_n8, fl_c, fl_p8, fl_n8,
-    pn_ref, pc_ref,
+    pn_ref, pc_ref, *maybe_vlim_ref,
 ):
     ti = pl.program_id(0)
     t = p_c.shape[0]
@@ -401,22 +401,36 @@ def _sor_kernel(
     pn_ref[:] = pn
     pc_ref[:] = pbc[2:-2, :]  # BC'd current, center rows → new alt buffer
 
+    if v_limit is not None:
+        # Fold the velocity-norm limiter (fs/solver.py:38-43,89) into the
+        # final SOR iteration: u/w center rows are already resident.
+        vlim_ref = maybe_vlim_ref[0]
+        uc = ue[2:-2, :]
+        wc = we[2:-2, :]
+        norm = jnp.sqrt(uc * uc + wc * wc)
+        over = norm > v_limit  # NaN norm compares false → unchanged
+        vlim_ref[0] = jnp.where(over, v_limit * (uc / norm), uc)
+        vlim_ref[1] = jnp.where(over, v_limit * (wc / norm), wc)
+
 
 def sor_iteration_pallas(
     p_cur, p_alt, u, w, pbc_code, fluid8, omega: float, dt: float, dx: float,
-    *, tile_x: int | None = None, interpret: bool = False,
+    *, v_limit: float | None = None, tile_x: int | None = None, interpret: bool = False,
 ):
     """One fused red-black SOR iteration (BC + odd + even sweeps).
 
     Returns the post-swap ``(p_cur, p_alt)`` pair, exactly matching
-    :func:`fluid2d_tpu.ops.pressure.sor_pressure_iteration`.
+    :func:`fluid2d_tpu.ops.pressure.sor_pressure_iteration`. With
+    `v_limit` set (the step's FINAL iteration), additionally returns the
+    norm-limited (2, X, Y) velocity as a third output — the u/w tiles
+    are already in VMEM, so the limiter costs only its writes.
     """
     x_rows, y_cols = p_cur.shape
 
     def cost_rows(t: int) -> float:
-        # 4 f32 halo triples + 2 i8 halo triples + 2 out blocks,
+        # 4 f32 halo triples + 2 i8 halo triples + 2-4 out blocks,
         # plus ~24 live (t, Y) f32 stack temporaries.
-        blocks = 4 * (t + 2 * _HB) + 0.5 * (t + 2 * _HB) + 2 * t
+        blocks = 4 * (t + 2 * _HB) + 0.5 * (t + 2 * _HB) + (4 if v_limit else 2) * t
         return 2 * blocks + 24 * t
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
@@ -435,15 +449,19 @@ def sor_iteration_pallas(
     )
     args = [p_cur] * 3 + [p_alt] * 3 + [u] * 3 + [w] * 3 + [pbc_code] * 3 + [fluid8] * 3
 
-    kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx)
+    kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx, v_limit)
     out_shape = [jax.ShapeDtypeStruct(p_cur.shape, p_cur.dtype)] * 2
+    out_specs = [_center_spec(t, y_cols, None)] * 2
+    if v_limit is not None:
+        out_shape.append(jax.ShapeDtypeStruct((2, x_rows, y_cols), p_cur.dtype))
+        out_specs.append(_center_spec(t, y_cols, 2))
 
-    pn, pc = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(n_t,),
         in_specs=specs,
-        out_specs=[_center_spec(t, y_cols, None)] * 2,
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    return pn, pc
+    return outs if v_limit is not None else (outs[0], outs[1])
