@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--frame-every", type=int, default=0,
                         help="Write a PNG frame every N steps (0 = off); "
                              "the reference renders every 5th step")
+    parser.add_argument("--gif", type=str, default="",
+                        help="Also collect the frames into an animated GIF here")
     parser.add_argument("--output", type=str, default="output",
                         help="Output directory for frames/dumps")
     parser.add_argument("--dump-fields", action="store_true",
@@ -131,20 +133,24 @@ def main(argv: list[str] | None = None) -> None:
                    max_steps=args.steps or None)
         return
 
+    if args.gif and not args.frame_every:
+        print("note: --gif needs --frame-every to collect frames; no GIF will be written")
+
     out_dir = Path(args.output)
     chunk = args.frame_every or args.log_every or args.steps
     done = 0
     frame_idx = 0
+    gif_frames = []
     t0 = time.perf_counter()
     while done < args.steps:
         n = min(chunk, args.steps - done)
         sim.step(n)
         done += n
         if args.frame_every:
-            write_png(
-                out_dir / f"frame_{frame_idx:05d}.png",
-                to_image(sim._render(sim.state, sim.scene, args.visualization)),
-            )
+            frame = to_image(sim._render(sim.state, sim.scene, args.visualization))
+            write_png(out_dir / f"frame_{frame_idx:05d}.png", frame)
+            if args.gif:
+                gif_frames.append(frame)
             frame_idx += 1
         if args.log_every and done % args.log_every == 0:
             elapsed = time.perf_counter() - t0
@@ -159,6 +165,11 @@ def main(argv: list[str] | None = None) -> None:
         out_dir.mkdir(parents=True, exist_ok=True)
         np.savez(out_dir / f"step_{sim.step_count:06d}.npz", **fields_to_numpy(sim.state))
         print(f"dumped fields to {out_dir}")
+    if args.gif and gif_frames:
+        from fluid2d_tpu.utils.io import write_gif
+
+        write_gif(args.gif, gif_frames)
+        print(f"animation written to {args.gif} ({len(gif_frames)} frames)")
     if args.checkpoint:
         sim.save(args.checkpoint)
         print(f"checkpoint written to {args.checkpoint}")

@@ -18,7 +18,7 @@ import numpy as np
 from fluid2d_tpu.config import SimConfig
 from fluid2d_tpu.state import SimState
 
-__all__ = ["fields_to_numpy", "save_checkpoint", "load_checkpoint", "write_png"]
+__all__ = ["fields_to_numpy", "save_checkpoint", "load_checkpoint", "write_png", "write_gif"]
 
 
 def fields_to_numpy(state: SimState) -> dict[str, np.ndarray]:
@@ -66,3 +66,20 @@ def write_png(path: str | Path, image: np.ndarray) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     Image.fromarray(image).save(path)
+
+
+def write_gif(path: str | Path, frames: list[np.ndarray], fps: int = 30) -> None:
+    """Animate uint8 H×W×3 frames into a GIF (the reference's disabled
+    VideoManager capability, ``main.py:86,109``)."""
+    from PIL import Image
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    images = [Image.fromarray(f) for f in frames]
+    images[0].save(
+        path,
+        save_all=True,
+        append_images=images[1:],
+        duration=max(1, round(1000 / fps)),
+        loop=0,
+    )
