@@ -30,6 +30,7 @@ from fluid2d_tpu.ops.cip import (
 )
 from fluid2d_tpu.ops.limiters import clamp_field
 from fluid2d_tpu.ops.pallas_phases import cip_dye_phase_pallas, cip_velocity_phase_pallas
+from fluid2d_tpu.ops.pallas_stencil import PallasInfeasibleError
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
@@ -61,11 +62,14 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     if pallas:
         # One fused kernel: BC → non-advection → gradient update → CIP
         # advection, producing all six velocity-family buffers.
-        v_cur, vx_cur, vy_cur, v_alt, vx_alt, vy_alt = cip_velocity_phase_pallas(
-            state.v, state.p, state.v_alt, state.vx, state.vx_alt,
-            state.vy, state.vy_alt, scene, cfg.re, dt, dx, interpret=interp,
-        )
-    else:
+        try:
+            v_cur, vx_cur, vy_cur, v_alt, vx_alt, vy_alt = cip_velocity_phase_pallas(
+                state.v, state.p, state.v_alt, state.vx, state.vx_alt,
+                state.vy, state.vy_alt, scene, cfg.re, dt, dx, interpret=interp,
+            )
+        except PallasInfeasibleError:
+            pallas = False  # grid too wide for VMEM tiles — jnp path
+    if not pallas:
         vc = velocity_bc(state.v, scene)
 
         # --- Phase 1: non-advection (pressure + diffusion) into the alt
@@ -102,13 +106,17 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     )
 
     if cfg.enable_dye:
-        if pallas:
-            dye_cur, dyex_cur, dyey_cur, d_na, dx_na, dy_na = cip_dye_phase_pallas(
-                state.dye, state.dye_alt, state.dyex, state.dyex_alt,
-                state.dyey, state.dyey_alt, v_cur, scene, cfg.re, dt, dx,
-                interpret=interp,
-            )
-        else:
+        dye_pallas = pallas
+        if dye_pallas:
+            try:
+                dye_cur, dyex_cur, dyey_cur, d_na, dx_na, dy_na = cip_dye_phase_pallas(
+                    state.dye, state.dye_alt, state.dyex, state.dyex_alt,
+                    state.dyey, state.dyey_alt, v_cur, scene, cfg.re, dt, dx,
+                    interpret=interp,
+                )
+            except PallasInfeasibleError:
+                dye_pallas = False
+        if not dye_pallas:
             dc = dye_bc(state.dye, scene)
             d_na = jnp.where(nw, non_advection_diffusion(dc, cfg.re, dt, dx), state.dye_alt)
             dgx_cand, dgy_cand = non_advection_grad(state.dyex, state.dyey, dc, d_na, dx)

@@ -8,7 +8,11 @@ import jax.numpy as jnp
 
 from fluid2d_tpu.config import SimConfig
 from fluid2d_tpu.ops.limiters import limit_vector_norm
-from fluid2d_tpu.ops.pallas_stencil import pick_tile, sor_iteration_pallas
+from fluid2d_tpu.ops.pallas_stencil import (
+    PallasInfeasibleError,
+    pick_tile,
+    sor_iteration_pallas,
+)
 from fluid2d_tpu.ops.pressure import jacobi_pressure_iteration, sor_pressure_iteration
 from fluid2d_tpu.ops.stencil import diff2_x, diff2_y, diff_x, diff_y
 from fluid2d_tpu.ops.vorticity import apply_confinement
@@ -47,7 +51,17 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     """n_iter pressure iterations with the configured solver
     (``fs/pressure_updater.py:56-60,86-90``). Returns the new
     ``(p_cur, p_alt)`` pair."""
-    if cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2]):
+    sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
+    if sor_pallas:
+        try:  # feasibility is resolution-dependent; probe at trace time
+            sor_iteration_pallas(
+                p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
+                cfg.sor_omega, cfg.dt, cfg.dx,
+                interpret=(cfg.kernels == "pallas_interpret"),
+            )
+        except PallasInfeasibleError:
+            sor_pallas = False
+    if sor_pallas:
         one = lambda pair, _: (  # noqa: E731
             sor_iteration_pallas(
                 *pair, v[0], v[1], scene.pbc_code, scene.fluid8,
@@ -83,21 +97,27 @@ def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     folded into the FINAL iteration (u/w tiles already in VMEM).
     Returns ``(p_cur, p_alt, v_limited)``."""
     sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
-    if sor_pallas and cfg.n_pressure_iter >= 1 and cfg.n_pressure_iter <= 4:
+    if sor_pallas and 1 <= cfg.n_pressure_iter <= 4:
         interp = cfg.kernels == "pallas_interpret"
-        for _ in range(cfg.n_pressure_iter - 1):
-            p_cur, p_alt = sor_iteration_pallas(
-                p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
-                cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
-            )
-        p_cur, p_alt, v_lim = sor_iteration_pallas(
-            p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
-            cfg.sor_omega, cfg.dt, cfg.dx,
-            v_limit=cfg.velocity_limit, interpret=interp,
-        )
-        return p_cur, p_alt, v_lim
+        try:
+            return _sor_pallas_with_limit(p_cur, p_alt, v, scene, cfg, interp)
+        except PallasInfeasibleError:
+            pass
     p_cur, p_alt = update_pressure(p_cur, p_alt, v, scene, cfg)
     return p_cur, p_alt, limit_vector_norm(v, cfg.velocity_limit)
+
+
+def _sor_pallas_with_limit(p_cur, p_alt, v, scene, cfg, interp):
+    for _ in range(cfg.n_pressure_iter - 1):
+        p_cur, p_alt = sor_iteration_pallas(
+            p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
+            cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
+        )
+    return sor_iteration_pallas(
+        p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
+        cfg.sor_omega, cfg.dt, cfg.dx,
+        v_limit=cfg.velocity_limit, interpret=interp,
+    )
 
 
 def confinement(v_cur, v_alt, scene: Scene, cfg: SimConfig):
@@ -106,8 +126,11 @@ def confinement(v_cur, v_alt, scene: Scene, cfg: SimConfig):
     if use_pallas(cfg, v_cur.shape[-2]):
         from fluid2d_tpu.ops.pallas_phases import confinement_pallas
 
-        return confinement_pallas(
-            v_cur, v_alt, scene.fluid8, cfg.dt, cfg.vor_eps, cfg.dx,
-            interpret=(cfg.kernels == "pallas_interpret"),
-        )
+        try:
+            return confinement_pallas(
+                v_cur, v_alt, scene.fluid8, cfg.dt, cfg.vor_eps, cfg.dx,
+                interpret=(cfg.kernels == "pallas_interpret"),
+            )
+        except PallasInfeasibleError:
+            pass
     return apply_confinement(v_cur, v_alt, scene.fluid, cfg.dt, cfg.vor_eps, cfg.dx)

@@ -27,6 +27,7 @@ from fluid2d_tpu.models.common import (
 from fluid2d_tpu.ops.advection import advect_kk, advect_upwind
 from fluid2d_tpu.ops.limiters import clamp_field
 from fluid2d_tpu.ops.pallas_phases import mac_dye_phase_pallas, mac_velocity_phase_pallas
+from fluid2d_tpu.ops.pallas_stencil import PallasInfeasibleError
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
@@ -47,11 +48,14 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     # Velocity BC on the current buffer, then the fused momentum update
     # writes fluid cells of the alternate buffer; swap.
     if pallas:
-        v_cur, v_alt = mac_velocity_phase_pallas(
-            state.v, state.p, state.v_alt, scene, cfg.scheme, cfg.re, dt, dx,
-            interpret=interp,
-        )
-    else:
+        try:
+            v_cur, v_alt = mac_velocity_phase_pallas(
+                state.v, state.p, state.v_alt, scene, cfg.scheme, cfg.re, dt, dx,
+                interpret=interp,
+            )
+        except PallasInfeasibleError:
+            pallas = False  # grid too wide for VMEM tiles — jnp path
+    if not pallas:
         vc = velocity_bc(state.v, scene)
         rhs = (
             -advect(vc[0], vc[1], vc, dx)
@@ -71,12 +75,16 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
     if cfg.enable_dye:
         # Pure advection of the dye by the limited velocity, then a global
         # clamp to [0, 1] on the current buffer only.
-        if pallas:
-            dye_cur, dc = mac_dye_phase_pallas(
-                state.dye, state.dye_alt, v_cur, scene, cfg.scheme, dt, dx,
-                interpret=interp,
-            )
-        else:
+        dye_pallas = pallas
+        if dye_pallas:
+            try:
+                dye_cur, dc = mac_dye_phase_pallas(
+                    state.dye, state.dye_alt, v_cur, scene, cfg.scheme, dt, dx,
+                    interpret=interp,
+                )
+            except PallasInfeasibleError:
+                dye_pallas = False
+        if not dye_pallas:
             dc = dye_bc(state.dye, scene)
             dn = dc - dt * advect(v_cur[0], v_cur[1], dc, dx)
             dye_cur = clamp_field(jnp.where(scene.fluid, dn, state.dye_alt), 0.0, 1.0)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from fluid2d_tpu.ops.pallas_stencil import (
+    PallasInfeasibleError,
     _HB,
     _center_spec,
     _ext,
@@ -277,8 +278,8 @@ def cip_velocity_phase_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for X={x_rows}"
-        raise ValueError(msg)
+        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
     h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
@@ -383,8 +384,8 @@ def cip_dye_phase_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for X={x_rows}"
-        raise ValueError(msg)
+        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
     h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
@@ -475,8 +476,8 @@ def confinement_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for X={x_rows}"
-        raise ValueError(msg)
+        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
     specs = (
@@ -555,8 +556,8 @@ def mac_velocity_phase_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for X={x_rows}"
-        raise ValueError(msg)
+        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
     h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
@@ -622,8 +623,8 @@ def mac_dye_phase_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for X={x_rows}"
-        raise ValueError(msg)
+        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
     h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731

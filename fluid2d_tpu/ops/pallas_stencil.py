@@ -40,7 +40,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pick_tile", "cip_advect_pallas", "sor_iteration_pallas"]
+__all__ = ["PallasInfeasibleError", "pick_tile", "cip_advect_pallas", "sor_iteration_pallas"]
+
+
+class PallasInfeasibleError(ValueError):
+    """No tile size fits this grid in VMEM — callers fall back to the
+    jnp path (raised at trace time, before any pallas_call)."""
 
 _HB = 8  # side-halo block rows (Mosaic's sublane tile)
 
@@ -264,8 +269,8 @@ def cip_advect_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for X={x_rows}"
-        raise ValueError(msg)
+        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
     specs = [
@@ -435,8 +440,8 @@ def sor_iteration_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for X={x_rows}"
-        raise ValueError(msg)
+        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
     specs = (
