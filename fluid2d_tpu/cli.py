@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Dump v/p(/dye) .npz at the end (reference 'd' key)")
     parser.add_argument("--checkpoint", type=str, default="",
                         help="Write a full-state checkpoint here at the end")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="Also checkpoint every N steps (requires --checkpoint); "
+                             "with --abort-on-nan this gives crash-and-resume safety")
+    parser.add_argument("--abort-on-nan", action="store_true",
+                        help="Stop (after the last good checkpoint) if fields go NaN")
     parser.add_argument("--resume", type=str, default="",
                         help="Resume from a checkpoint written by --checkpoint")
     parser.add_argument("--pressure-solver", type=str, choices=["sor", "jacobi"],
@@ -137,7 +142,9 @@ def main(argv: list[str] | None = None) -> None:
         print("note: --gif needs --frame-every to collect frames; no GIF will be written")
 
     out_dir = Path(args.output)
-    chunk = args.frame_every or args.log_every or args.steps
+    chunk = args.frame_every or args.log_every or args.checkpoint_every or args.steps
+    if args.checkpoint_every:
+        chunk = min(chunk, args.checkpoint_every)
     done = 0
     frame_idx = 0
     gif_frames = []
@@ -146,6 +153,15 @@ def main(argv: list[str] | None = None) -> None:
         n = min(chunk, args.steps - done)
         sim.step(n)
         done += n
+        if args.abort_on_nan:
+            from fluid2d_tpu.utils.metrics import has_nan
+
+            if has_nan(sim.state):
+                print(f"** NaN detected at step {sim.step_count}; aborting "
+                      f"(resume from the last checkpoint with --resume)")
+                break
+        if args.checkpoint_every and args.checkpoint and done % args.checkpoint_every == 0:
+            sim.save(args.checkpoint)
         if args.frame_every:
             frame = to_image(sim._render(sim.state, sim.scene, args.visualization))
             write_png(out_dir / f"frame_{frame_idx:05d}.png", frame)

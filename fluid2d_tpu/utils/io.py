@@ -34,8 +34,16 @@ def fields_to_numpy(state: SimState) -> dict[str, np.ndarray]:
 
 
 def save_checkpoint(path: str | Path, state: SimState, cfg: SimConfig) -> None:
-    """Full-state checkpoint: every pytree leaf + the config as JSON."""
+    """Full-state checkpoint: every pytree leaf + the config as JSON.
+
+    A ``.npz`` path gathers to host and writes one file; a directory
+    path (no suffix) uses orbax — which writes sharded arrays per-shard
+    without a host gather, the right backend for mesh-distributed runs.
+    """
     path = Path(path)
+    if path.suffix != ".npz":
+        _save_orbax(path, state, cfg)
+        return
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {
         name: np.asarray(leaf) for name, leaf in zip(state._fields, state) if leaf is not None
@@ -50,13 +58,36 @@ def load_checkpoint(path: str | Path) -> tuple[SimState, SimConfig]:
     """Restore a checkpoint written by :func:`save_checkpoint`."""
     import jax.numpy as jnp
 
-    with np.load(Path(path)) as data:
+    path = Path(path)
+    if path.suffix != ".npz":
+        return _load_orbax(path)
+    with np.load(path) as data:
         cfg_dict = json.loads(bytes(data["__config__"].tobytes()).decode())
         cfg = SimConfig(**cfg_dict)
         leaves = {
             name: jnp.asarray(data[name]) for name in SimState._fields if name in data.files
         }
     return SimState(**leaves), cfg
+
+
+def _save_orbax(path: Path, state: SimState, cfg: SimConfig) -> None:
+    import orbax.checkpoint as ocp
+
+    path = path.resolve()
+    tree = {name: leaf for name, leaf in zip(state._fields, state) if leaf is not None}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", tree, force=True)
+    (path / "config.json").write_text(json.dumps(dataclasses.asdict(cfg)))
+
+
+def _load_orbax(path: Path) -> tuple[SimState, SimConfig]:
+    import orbax.checkpoint as ocp
+
+    path = path.resolve()
+    cfg = SimConfig(**json.loads((path / "config.json").read_text()))
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path / "state")
+    return SimState(**tree), cfg
 
 
 def write_png(path: str | Path, image: np.ndarray) -> None:

@@ -54,6 +54,16 @@ def test_checkpoint_roundtrip(tmp_path: Path, sim):
     np.testing.assert_array_equal(np.asarray(sim2.state.v), np.asarray(restored.state.v))
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path: Path, sim):
+    """Directory path → orbax backend (per-shard writes for sharded runs)."""
+    path = tmp_path / "ckpt_dir"
+    sim.save(path)
+    restored = FluidSimulator.load(path, bc_num=1)
+    assert restored.step_count == sim.step_count
+    np.testing.assert_array_equal(np.asarray(restored.state.v), np.asarray(sim.state.v))
+    np.testing.assert_array_equal(np.asarray(restored.state.dyex), np.asarray(sim.state.dyex))
+
+
 def test_reset(sim):
     s = FluidSimulator.create(1, 24, re=100.0, scheme="upwind", enable_dye=False)
     s.step(3)
