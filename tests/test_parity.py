@@ -176,3 +176,18 @@ def test_parity_remaining_scenes_cip(num):
     _cmp("v", state.v, orc.v.cur)
     _cmp("p", state.p, orc.p.cur)
     _cmp("dye", state.dye, orc.dye.cur)
+
+
+@pytest.mark.parametrize(
+    ("num", "scheme"),
+    [(3, "upwind"), (3, "kk"), (4, "kk"), (4, "cip"),
+     (5, "upwind"), (5, "kk"), (6, "upwind"), (6, "kk")],
+)
+def test_parity_full_matrix(num, scheme):
+    """Completes the all-schemes × all-scenes matrix (BASELINE: fields
+    match the reference semantics on every combination). Short horizon
+    keeps the scalar oracle affordable."""
+    state, orc = _run_pair(num, scheme, vor_eps=5.0, enable_dye=True, steps=3, seed=num)
+    _cmp("v", state.v, orc.v.cur)
+    _cmp("p", state.p, orc.p.cur)
+    _cmp("dye", state.dye, orc.dye.cur)
