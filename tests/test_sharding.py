@@ -79,6 +79,41 @@ def test_halo_exchange_run_matches_single_device(scheme):
         np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0, err_msg=name)
 
 
+def test_halo_run_with_pallas_kernels_interpret():
+    """The production multichip composition: Pallas phase kernels running
+    per-shard inside the shard_map ghost windows (interpret mode on CPU).
+    The kernels clamp at window edges; pollution must stay inside the
+    ghost rows."""
+    from fluid2d_tpu.parallel.halo import make_sharded_run_halo
+
+    res = 128
+    _, mask, _ = build_scene_arrays(2, res)
+    scene = get_scene(2, res)
+    fields = _random_fields(mask, True, True, seed=3)
+
+    cfg_ref = SimConfig.create(resolution=res, re=1000.0, scheme="cip",
+                               vor_eps=5.0, enable_dye=True, kernels="xla")
+    ref = make_run_fn(cfg_ref)(
+        _seed_state(init_state(scene, cfg_ref), fields), scene, 2
+    )
+
+    cfg = SimConfig.create(resolution=res, re=1000.0, scheme="cip",
+                           vor_eps=5.0, enable_dye=True, kernels="pallas_interpret")
+    mesh = make_mesh(8)
+    run_h = make_sharded_run_halo(cfg, mesh)
+    got = run_h(
+        shard_pytree(_seed_state(init_state(scene, cfg), fields), mesh),
+        shard_pytree(scene, mesh),
+        2,
+    )
+    for name, a, b in zip(ref._fields, ref, got):
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=0, err_msg=name)
+
+
 def test_sharded_output_keeps_sharding():
     res = 32
     cfg = SimConfig.create(resolution=res, scheme="upwind", vor_eps=None, enable_dye=False)
