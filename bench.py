@@ -80,14 +80,15 @@ def main() -> None:
 
     import numpy as np
 
+    metric = f"steps_per_sec_res{args.res}_{args.scheme}"
     if np.isnan(np.asarray(state.v)).any():  # a benchmark of NaNs is not a benchmark
-        print(json.dumps({"metric": "steps_per_sec_res1600_cip", "value": 0.0,
+        print(json.dumps({"metric": metric, "value": 0.0,
                           "unit": "steps/s", "vs_baseline": 0.0}))
         return
 
     target = 60.0  # BASELINE.json: ≥60 steps/s @ res=1600 CIP on one chip
     print(json.dumps({
-        "metric": f"steps_per_sec_res{args.res}_{args.scheme}",
+        "metric": metric,
         "value": round(rate, 2),
         "unit": "steps/s",
         "vs_baseline": round(rate / target, 3),

@@ -102,7 +102,9 @@ def main(argv: list[str] | None = None) -> None:
     vor_eps = args.vorticity_confinement if args.vorticity_confinement != 0.0 else None
 
     if args.resume:
-        sim = FluidSimulator.load(args.resume, args.boundary_condition)
+        # Scene identity (bc number / mask image) is stored in the
+        # checkpoint; CLI flags are overrides only.
+        sim = FluidSimulator.load(args.resume)
     else:
         cfg = SimConfig.create(
             resolution=args.resolution,
@@ -117,7 +119,11 @@ def main(argv: list[str] | None = None) -> None:
         )
         scene = get_scene(args.boundary_condition, args.resolution,
                           mask_image=args.mask_image or None)
-        sim = FluidSimulator(scene, cfg)
+        sim = FluidSimulator(
+            scene, cfg,
+            scene_meta={"bc_num": args.boundary_condition,
+                        "mask_image": args.mask_image or None},
+        )
 
     if args.shard:
         from fluid2d_tpu.parallel.sharding import shard_simulator
@@ -142,27 +148,30 @@ def main(argv: list[str] | None = None) -> None:
         print("note: --gif needs --frame-every to collect frames; no GIF will be written")
 
     out_dir = Path(args.output)
-    chunk = args.frame_every or args.log_every or args.checkpoint_every or args.steps
-    if args.checkpoint_every:
-        chunk = min(chunk, args.checkpoint_every)
+    # Each periodic action fires exactly at multiples of ITS interval:
+    # every chunk ends at the nearest upcoming due-point of any action.
+    intervals = [v for v in (args.frame_every, args.log_every,
+                             args.checkpoint_every if args.checkpoint else 0) if v]
     done = 0
     frame_idx = 0
     gif_frames = []
+    aborted = False
     t0 = time.perf_counter()
     while done < args.steps:
-        n = min(chunk, args.steps - done)
-        sim.step(n)
-        done += n
+        stop = min([args.steps] + [done - done % v + v for v in intervals])
+        sim.step(stop - done)
+        done = stop
         if args.abort_on_nan:
             from fluid2d_tpu.utils.metrics import has_nan
 
             if has_nan(sim.state):
                 print(f"** NaN detected at step {sim.step_count}; aborting "
                       f"(resume from the last checkpoint with --resume)")
+                aborted = True
                 break
         if args.checkpoint_every and args.checkpoint and done % args.checkpoint_every == 0:
             sim.save(args.checkpoint)
-        if args.frame_every:
+        if args.frame_every and done % args.frame_every == 0:
             frame = to_image(sim._render(sim.state, sim.scene, args.visualization))
             write_png(out_dir / f"frame_{frame_idx:05d}.png", frame)
             if args.gif:
@@ -186,7 +195,9 @@ def main(argv: list[str] | None = None) -> None:
 
         write_gif(args.gif, gif_frames)
         print(f"animation written to {args.gif} ({len(gif_frames)} frames)")
-    if args.checkpoint:
+    if args.checkpoint and not aborted:
+        # After a NaN abort the final state is garbage — keep the last
+        # good periodic checkpoint instead of overwriting it.
         sim.save(args.checkpoint)
         print(f"checkpoint written to {args.checkpoint}")
 

@@ -63,9 +63,11 @@ class FluidSimulator:
     replaces the separate ``DyeFluidSimulator`` subclass.
     """
 
-    def __init__(self, scene: Scene, cfg: SimConfig, state: SimState | None = None):
+    def __init__(self, scene: Scene, cfg: SimConfig, state: SimState | None = None,
+                 scene_meta: dict | None = None):
         self.scene = scene
         self.cfg = cfg
+        self.scene_meta = scene_meta or {}
         self.state = init_state(scene, cfg) if state is None else state
         self._run = make_run_fn(cfg)
         self._render = jax.jit(
@@ -94,7 +96,11 @@ class FluidSimulator:
             enable_dye=enable_dye,
             **config_overrides,
         )
-        return cls(get_scene(bc_num, resolution), cfg)
+        return cls(
+            get_scene(bc_num, resolution),
+            cfg,
+            scene_meta={"bc_num": bc_num, "mask_image": None},
+        )
 
     # -- stepping ----------------------------------------------------------
     def step(self, n: int = 1) -> None:
@@ -133,11 +139,17 @@ class FluidSimulator:
         return fio.fields_to_numpy(self.state)
 
     def save(self, path: str | Path) -> None:
-        fio.save_checkpoint(path, self.state, self.cfg)
+        fio.save_checkpoint(path, self.state, self.cfg, scene_meta=self.scene_meta)
 
     @classmethod
-    def load(cls, path: str | Path, bc_num: int) -> "FluidSimulator":
+    def load(cls, path: str | Path, bc_num: int | None = None,
+             mask_image: str | None = None) -> "FluidSimulator":
         """Exact resume from a full-state checkpoint (capability the
-        reference lacks)."""
-        state, cfg = fio.load_checkpoint(path)
-        return cls(get_scene(bc_num, cfg.resolution), cfg, state=state)
+        reference lacks). The scene identity is stored in the checkpoint;
+        `bc_num` / `mask_image` are explicit overrides."""
+        state, cfg, meta = fio.load_checkpoint(path)
+        bc = bc_num if bc_num is not None else meta.get("bc_num", 1)
+        mask = mask_image if mask_image is not None else meta.get("mask_image")
+        scene = get_scene(bc, cfg.resolution, mask_image=mask)
+        return cls(scene, cfg, state=state,
+                   scene_meta={"bc_num": bc, "mask_image": mask})

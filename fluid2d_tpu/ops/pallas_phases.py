@@ -53,12 +53,10 @@ __all__ = [
 ]
 
 
+from fluid2d_tpu.ops.limiters import clamp_field
+from fluid2d_tpu.ops.stencil import tmax, tmin
+
 # --- window expressions -----------------------------------------------------
-
-
-def _tmax(x, c):
-    """fmax semantics (NaN → c); see ops/stencil.py::tmax."""
-    return jnp.where(jnp.isnan(x), c, jnp.maximum(x, c))
 
 
 def _reclamp(win, ti, n_t: int, a: int, b: int | None = None):
@@ -109,7 +107,7 @@ def _velocity_bc_window(u_w, w_w, code, const_u, const_w):
     out_u = jnp.where(code == 5, const_u, out_u)
     out_w = jnp.where(code == 5, const_w, out_w)
     # Outflow: x-component only, no backflow, reads the pre-BC value.
-    out_u = jnp.where(code == 6, _tmax(u_w[1 : 1 + n], jnp.float32(0.05)), out_u)
+    out_u = jnp.where(code == 6, tmax(u_w[1 : 1 + n], jnp.float32(0.05)), out_u)
     return out_u, out_w
 
 
@@ -168,12 +166,6 @@ def _advect_kk_window(u_c, w_c, phi_w, dx: float):
     pos_y = 1.0 * p2y - 2.0 * p1y + 9.0 * pc - 10.0 * m1y + 2.0 * m2y
     b = jnp.where(w_c < 0.0, neg_y, pos_y) / (6.0 * dx)
     return u_c * a + w_c * b
-
-
-def _clamp01(x):
-    """fmin/fmax clamp to [0,1] (NaN → 0), matching ops/limiters.py."""
-    lo = jnp.where(jnp.isnan(x), jnp.float32(0.0), jnp.maximum(x, jnp.float32(0.0)))
-    return jnp.minimum(lo, jnp.float32(1.0))
 
 
 # --- CIP velocity phase kernel ----------------------------------------------
@@ -358,7 +350,7 @@ def _cip_dye_kernel(
         fn, fxn, fyn = cip_advect_window_expr(
             d_na[1:-1], gx_na, gy_na, vele[0], vele[1], dt, dx
         )
-        d_out[c] = _clamp01(jnp.where(fluid, fn, dc[3:-3]))
+        d_out[c] = clamp_field(jnp.where(fluid, fn, dc[3:-3]), 0.0, 1.0)
         dx_out[c] = jnp.where(fluid, fxn, dxe[1:-1])
         dy_out[c] = jnp.where(fluid, fyn, dye_[1:-1])
         dna_out[c] = d_na[2:-2]
@@ -447,12 +439,10 @@ def _confinement_kernel(
     vort_c = vort[1:-1]
     fx = ny * vort_c
     fy = -nx * vort_c
-    clamp = lambda x: jnp.minimum(  # noqa: E731  (fmin/fmax NaN → +0.1)
-        jnp.where(jnp.isnan(x), jnp.float32(0.1), jnp.maximum(x, jnp.float32(-0.1))),
-        jnp.float32(0.1),
-    )
-    fx = clamp(fx)
-    fy = clamp(fy)
+    # min-then-max with fmin/fmax NaN policy (NaN → +0.1), exactly as
+    # ops/vorticity.py.
+    fx = tmax(tmin(fx, jnp.float32(0.1)), jnp.float32(-0.1))
+    fy = tmax(tmin(fy, jnp.float32(0.1)), jnp.float32(-0.1))
 
     fluid = fluid_mid[1:-1]
     u_c = u_w[2:-2]
@@ -603,7 +593,7 @@ def _mac_dye_kernel(
         bcde = _ext(bcd_c[c], bcd_p8[c], bcd_n8[c], ti, n_t, halo)
         dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
         dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
-        d_out[c] = _clamp01(jnp.where(fluid, dn, da_ref[c]))
+        d_out[c] = clamp_field(jnp.where(fluid, dn, da_ref[c]), 0.0, 1.0)
         dbc_out[c] = dc[halo:-halo]
 
 

@@ -55,8 +55,24 @@ def shard_pytree(tree, mesh: Mesh):
 
 
 def shard_simulator(sim, n_devices: int | None = None) -> Mesh:
-    """Shard a :class:`FluidSimulator`'s state and scene in place."""
+    """Shard a :class:`FluidSimulator`'s state and scene in place.
+
+    GSPMD auto-partitioning applies to plain XLA ops — a Pallas
+    custom-call on sharded arrays under plain jit has no SPMD
+    partitioning rule. So this path pins ``kernels="xla"`` (unless the
+    user forced pallas explicitly); for fused kernels under sharding use
+    the explicit ghost-window path
+    (:func:`fluid2d_tpu.parallel.halo.make_sharded_run_halo`), which runs
+    the kernels per-shard inside ``shard_map``.
+    """
+    import dataclasses
+
+    from fluid2d_tpu.models.simulator import make_run_fn
+
     mesh = make_mesh(n_devices)
+    if sim.cfg.kernels == "auto":
+        sim.cfg = dataclasses.replace(sim.cfg, kernels="xla")
+        sim._run = make_run_fn(sim.cfg)
     sim.state = shard_pytree(sim.state, mesh)
     sim.scene = shard_pytree(sim.scene, mesh)
     return mesh

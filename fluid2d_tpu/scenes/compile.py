@@ -29,6 +29,7 @@ reference's effective behavior):
 
 from __future__ import annotations
 
+import warnings
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -158,6 +159,18 @@ def compile_scene(bc: np.ndarray, bc_mask: np.ndarray, bc_dye: np.ndarray) -> Sc
     vbc_code = np.zeros(mask.shape, dtype=np.int8)
     for k in range(4):  # ascending: later patterns overwrite (4 > 3 > 2 > 1)
         vbc_code[targets[k]] = k + 1
+    overlap = targets.any(axis=0) & (mask >= 2)
+    if overlap.any():
+        # The packed code stores one action per cell; inflow/outflow wins
+        # here like the runtime where-chain — but the chain's outflow only
+        # overrides the x-component, keeping a ghost-written y. No built-in
+        # scene has such cells; warn for custom geometry (docs/PARITY.md §2).
+        warnings.warn(
+            f"{int(overlap.sum())} ghost-velocity targets coincide with "
+            "inflow/outflow cells; the Pallas BC path keeps those cells' "
+            "y-component un-ghosted (XLA path ghost-writes it first)",
+            stacklevel=2,
+        )
     vbc_code[mask == 2] = 5
     vbc_code[mask == 3] = 6
 

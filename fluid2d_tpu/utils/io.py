@@ -33,61 +33,63 @@ def fields_to_numpy(state: SimState) -> dict[str, np.ndarray]:
     return out
 
 
-def save_checkpoint(path: str | Path, state: SimState, cfg: SimConfig) -> None:
-    """Full-state checkpoint: every pytree leaf + the config as JSON.
+def save_checkpoint(path: str | Path, state: SimState, cfg: SimConfig,
+                    scene_meta: dict | None = None) -> None:
+    """Full-state checkpoint: every pytree leaf + the config and scene
+    identity as JSON.
 
     A ``.npz`` path gathers to host and writes one file; a directory
     path (no suffix) uses orbax — which writes sharded arrays per-shard
     without a host gather, the right backend for mesh-distributed runs.
     """
     path = Path(path)
+    meta = {"config": dataclasses.asdict(cfg), "scene": scene_meta or {}}
     if path.suffix != ".npz":
-        _save_orbax(path, state, cfg)
+        _save_orbax(path, state, meta)
         return
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {
         name: np.asarray(leaf) for name, leaf in zip(state._fields, state) if leaf is not None
     }
-    arrays["__config__"] = np.frombuffer(
-        json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
-    )
+    arrays["__config__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 
 
-def load_checkpoint(path: str | Path) -> tuple[SimState, SimConfig]:
-    """Restore a checkpoint written by :func:`save_checkpoint`."""
+def load_checkpoint(path: str | Path) -> tuple[SimState, SimConfig, dict]:
+    """Restore (state, config, scene_meta) written by :func:`save_checkpoint`."""
     import jax.numpy as jnp
 
     path = Path(path)
     if path.suffix != ".npz":
         return _load_orbax(path)
     with np.load(path) as data:
-        cfg_dict = json.loads(bytes(data["__config__"].tobytes()).decode())
-        cfg = SimConfig(**cfg_dict)
+        meta = json.loads(bytes(data["__config__"].tobytes()).decode())
+        cfg = SimConfig(**meta["config"])
         leaves = {
             name: jnp.asarray(data[name]) for name in SimState._fields if name in data.files
         }
-    return SimState(**leaves), cfg
+    return SimState(**leaves), cfg, meta.get("scene", {})
 
 
-def _save_orbax(path: Path, state: SimState, cfg: SimConfig) -> None:
+def _save_orbax(path: Path, state: SimState, meta: dict) -> None:
     import orbax.checkpoint as ocp
 
     path = path.resolve()
     tree = {name: leaf for name, leaf in zip(state._fields, state) if leaf is not None}
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", tree, force=True)
-    (path / "config.json").write_text(json.dumps(dataclasses.asdict(cfg)))
+    (path / "config.json").write_text(json.dumps(meta))
 
 
-def _load_orbax(path: Path) -> tuple[SimState, SimConfig]:
+def _load_orbax(path: Path) -> tuple[SimState, SimConfig, dict]:
     import orbax.checkpoint as ocp
 
     path = path.resolve()
-    cfg = SimConfig(**json.loads((path / "config.json").read_text()))
+    meta = json.loads((path / "config.json").read_text())
+    cfg = SimConfig(**meta["config"])
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(path / "state")
-    return SimState(**tree), cfg
+    return SimState(**tree), cfg, meta.get("scene", {})
 
 
 def write_png(path: str | Path, image: np.ndarray) -> None:

@@ -21,18 +21,15 @@ __all__ = ["run_viewer"]
 def run_viewer(sim, vis: int = 0, render_every: int = 5, output_dir: str = "output",
                max_steps: int | None = None) -> None:
     """Drive `sim` (a :class:`FluidSimulator`) in an interactive window."""
-    import matplotlib
-
     try:
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(10, 5))
         fig.canvas.manager.set_window_title("Fluid Simulation")
-    except Exception as exc:  # headless host
+    except Exception as exc:  # headless host or matplotlib missing
         msg = (
-            "interactive viewer needs a display (matplotlib backend "
-            f"{matplotlib.get_backend()!r} failed: {exc}); use --frame-every "
-            "to write PNG frames instead"
+            f"interactive viewer needs matplotlib and a display ({exc}); "
+            "use --frame-every to write PNG frames instead"
         )
         raise RuntimeError(msg) from exc
 
