@@ -37,12 +37,17 @@ from jax.experimental import pallas as pl
 from fluid2d_tpu.ops.pallas_stencil import (
     PallasInfeasibleError,
     _HB,
+    _HY,
+    _center2d_spec,
     _center_spec,
     _ext,
+    _ext2d,
+    _halo9_specs,
     _halo_triple_specs,
     _sy,
     _vmem_tile,
     cip_advect_window_expr,
+    pick_tile2d,
 )
 
 __all__ = [
@@ -171,35 +176,15 @@ def _advect_kk_window(u_c, w_c, phi_w, dx: float):
 # --- CIP velocity phase kernel ----------------------------------------------
 
 
-def _cip_velocity_kernel(
-    n_t: int, re: float, dt: float, dx: float,
-    v_c, v_p8, v_n8, p_c, p_p8, p_n8, va_c, va_p8, va_n8,
-    vx_c, vx_p8, vx_n8, vxa_c, vxa_p8, vxa_n8,
-    vy_c, vy_p8, vy_n8, vya_c, vya_p8, vya_n8,
-    code_c, code_p8, code_n8, const_c, const_p8, const_n8,
-    nw_c, nw_p8, nw_n8, fluid_ref,
-    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out,
+def _cip_velocity_body(
+    ti, n_t: int, re: float, dt: float, dx: float,
+    ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out, cs,
 ):
-    ti = pl.program_id(0)
-    t = code_c.shape[0]
-
-    # Widest windows first. Output rows [0, t):
-    #   advect needs na-values on [-1, t+1)
-    #   grads on [-1, t+1) need delta on [-2, t+2)
-    #   v_na on [-2, t+2) needs BC'd vc on [-3, t+3)
-    #   vc on [-3, t+3) needs raw v on [-5, t+5).
-    ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 5)  # (2, t+10, Y)
-    pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 3)  # (t+6, Y)
-    vae = _ext(va_c[:], va_p8[:], va_n8[:], ti, n_t, 2)  # (2, t+4, Y)
-    vxe = _ext(vx_c[:], vx_p8[:], vx_n8[:], ti, n_t, 1)  # (2, t+2, Y)
-    vxae = _ext(vxa_c[:], vxa_p8[:], vxa_n8[:], ti, n_t, 1)
-    vye = _ext(vy_c[:], vy_p8[:], vy_n8[:], ti, n_t, 1)
-    vyae = _ext(vya_c[:], vya_p8[:], vya_n8[:], ti, n_t, 1)
-    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 3).astype(jnp.int32)
-    conste = _ext(const_c[:], const_p8[:], const_n8[:], ti, n_t, 3)
-    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
-    fluid = fluid_ref[:] != 0
-
+    """Shared compute: windows in, outputs written through `cs` (the
+    column slicer — identity for 1-D row tiling, center-column slice for
+    2-D tiling). Window row extents relative to the t output rows:
+    ve ±5, pe/codee/conste ±3, vae/nwe ±2, vxe/vxae/vye/vyae ±1."""
     # 1. Velocity BC on rows [-3, t+3); re-clamp so shifted reads of the
     #    COMPUTED vc match the jnp path's clamp-to-edge at grid ends.
     uc_bc, wc_bc = _velocity_bc_window(ve[0], ve[1], codee, conste[0], conste[1])
@@ -235,18 +220,83 @@ def _cip_velocity_kernel(
     fn_u, fxn_u, fyn_u = cip_advect_window_expr(u_na_in, ux_na, uy_na, u_na_in, w_na_in, dt, dx)
     fn_w, fxn_w, fyn_w = cip_advect_window_expr(w_na_in, wx_na, wy_na, u_na_in, w_na_in, dt, dx)
 
-    v_out[0] = jnp.where(fluid, fn_u, uc_bc[3:-3])
-    v_out[1] = jnp.where(fluid, fn_w, wc_bc[3:-3])
-    vx_out[0] = jnp.where(fluid, fxn_u, vxe[0][1:-1])
-    vx_out[1] = jnp.where(fluid, fxn_w, vxe[1][1:-1])
-    vy_out[0] = jnp.where(fluid, fyn_u, vye[0][1:-1])
-    vy_out[1] = jnp.where(fluid, fyn_w, vye[1][1:-1])
-    vna_out[0] = u_na[2:-2]
-    vna_out[1] = w_na[2:-2]
-    vxna_out[0] = ux_na[1:-1]
-    vxna_out[1] = wx_na[1:-1]
-    vyna_out[0] = uy_na[1:-1]
-    vyna_out[1] = wy_na[1:-1]
+    v_out[0] = jnp.where(fluid, cs(fn_u), cs(uc_bc[3:-3]))
+    v_out[1] = jnp.where(fluid, cs(fn_w), cs(wc_bc[3:-3]))
+    vx_out[0] = jnp.where(fluid, cs(fxn_u), cs(vxe[0][1:-1]))
+    vx_out[1] = jnp.where(fluid, cs(fxn_w), cs(vxe[1][1:-1]))
+    vy_out[0] = jnp.where(fluid, cs(fyn_u), cs(vye[0][1:-1]))
+    vy_out[1] = jnp.where(fluid, cs(fyn_w), cs(vye[1][1:-1]))
+    vna_out[0] = cs(u_na[2:-2])
+    vna_out[1] = cs(w_na[2:-2])
+    vxna_out[0] = cs(ux_na[1:-1])
+    vxna_out[1] = cs(wx_na[1:-1])
+    vyna_out[0] = cs(uy_na[1:-1])
+    vyna_out[1] = cs(wy_na[1:-1])
+
+
+def _cip_velocity_kernel(
+    n_t: int, re: float, dt: float, dx: float,
+    v_c, v_p8, v_n8, p_c, p_p8, p_n8, va_c, va_p8, va_n8,
+    vx_c, vx_p8, vx_n8, vxa_c, vxa_p8, vxa_n8,
+    vy_c, vy_p8, vy_n8, vya_c, vya_p8, vya_n8,
+    code_c, code_p8, code_n8, const_c, const_p8, const_n8,
+    nw_c, nw_p8, nw_n8, fluid_ref,
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out,
+):
+    ti = pl.program_id(0)
+    ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 5)
+    pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 3)
+    vae = _ext(va_c[:], va_p8[:], va_n8[:], ti, n_t, 2)
+    vxe = _ext(vx_c[:], vx_p8[:], vx_n8[:], ti, n_t, 1)
+    vxae = _ext(vxa_c[:], vxa_p8[:], vxa_n8[:], ti, n_t, 1)
+    vye = _ext(vy_c[:], vy_p8[:], vy_n8[:], ti, n_t, 1)
+    vyae = _ext(vya_c[:], vya_p8[:], vya_n8[:], ti, n_t, 1)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 3).astype(jnp.int32)
+    conste = _ext(const_c[:], const_p8[:], const_n8[:], ti, n_t, 3)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+    _cip_velocity_body(
+        ti, n_t, re, dt, dx,
+        ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
+        v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out, lambda a: a,
+    )
+
+
+def _cip_velocity_kernel_2d(
+    n_tx: int, n_ty: int, ty: int, re: float, dt: float, dx: float,
+    *refs,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    it = iter(refs)
+    nine = lambda: [next(it) for _ in range(9)]
+    v9, p9, va9 = nine(), nine(), nine()
+    vx9, vxa9, vy9, vya9 = nine(), nine(), nine(), nine()
+    code9, const9, nw9 = nine(), nine(), nine()
+    fluid_ref = next(it)
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out = (next(it) for _ in range(6))
+
+    e2 = lambda r9, hx: _ext2d([r[:] for r in r9], ti, tj, n_tx, n_ty, hx)
+    # int8 lane-dim concats are unsupported by Mosaic — widen BEFORE _ext2d.
+    e2i = lambda r9, hx: _ext2d([r[:].astype(jnp.int32) for r in r9], ti, tj, n_tx, n_ty, hx)
+    ve = e2(v9, 5)
+    pe = e2(p9, 3)
+    vae = e2(va9, 2)
+    vxe = e2(vx9, 1)
+    vxae = e2(vxa9, 1)
+    vye = e2(vy9, 1)
+    vyae = e2(vya9, 1)
+    codee = e2i(code9, 3)
+    conste = e2(const9, 3)
+    nwe = e2i(nw9, 2)
+    fluid = fluid_ref[:] != 0
+
+    cs = lambda a: a[..., :, 128 : 128 + ty]
+    _cip_velocity_body(
+        ti, n_tx, re, dt, dx,
+        ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
+        v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out, cs,
+    )
 
 
 def cip_velocity_phase_pallas(
@@ -258,7 +308,8 @@ def cip_velocity_phase_pallas(
 
     Returns ``(v_cur, vx_cur, vy_cur, v_na, vx_na, vy_na)`` — the first
     three are the advected state, the latter three become the alternate
-    buffers (exactly like the jnp composition in models/cip.py).
+    buffers (exactly like the jnp composition in models/cip.py). Uses
+    row tiling when the lane width fits VMEM, 2-D tiling otherwise.
     """
     x_rows, y_cols = p.shape
 
@@ -270,8 +321,9 @@ def cip_velocity_phase_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
-        raise PallasInfeasibleError(msg)
+        return _cip_velocity_phase_2d(
+            v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
+        )
     n_t = x_rows // t
 
     h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
@@ -297,36 +349,69 @@ def cip_velocity_phase_pallas(
     )(*args)
 
 
+def _cip_velocity_cost2d(t: int, ty: int) -> int:
+    """Estimated VMEM bytes for the 2-D velocity-phase kernel."""
+    per_ch = t * ty + 2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY
+    blocks = 15 * per_ch + 0.5 * per_ch + 12 * t * ty + t * ty
+    stack = 60 * t * (ty + 2 * _HY)
+    return int(4 * (2 * blocks + stack))
+
+
+def _cip_velocity_phase_2d(
+    v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, *, interpret=False
+):
+    x_rows, y_cols = p.shape
+    tile = pick_tile2d(x_rows, y_cols, _cip_velocity_cost2d)
+    if tile is None:
+        msg = f"no valid 1-D or 2-D tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
+    t, ty = tile
+    n_tx, n_ty = x_rows // t, y_cols // ty
+
+    h9 = lambda lead: _halo9_specs(t, ty, n_tx, n_ty, lead)  # noqa: E731
+    specs = (
+        h9(2) + h9(None) + h9(2) + h9(2) + h9(2) + h9(2) + h9(2)
+        + h9(None) + h9(2) + h9(None) + [_center2d_spec(t, ty, None)]
+    )
+    args = (
+        [v] * 9 + [p] * 9 + [v_alt] * 9 + [vx] * 9 + [vx_alt] * 9 + [vy] * 9 + [vy_alt] * 9
+        + [scene.vbc_code] * 9 + [scene.bc_const] * 9 + [scene.not_wall8] * 9 + [scene.fluid8]
+    )
+
+    kernel = functools.partial(_cip_velocity_kernel_2d, n_tx, n_ty, ty, re, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tx, n_ty),
+        in_specs=specs,
+        out_specs=[_center2d_spec(t, ty, 2)] * 6,
+        out_shape=[out_sd] * 6,
+        interpret=interpret,
+    )(*args)
+
+
 # --- CIP dye phase kernel ----------------------------------------------------
 
 
-def _cip_dye_kernel(
-    n_t: int, re: float, dt: float, dx: float,
-    d_c, d_p8, d_n8, da_c, da_p8, da_n8,
-    dx_c, dx_p8, dx_n8, dxa_c, dxa_p8, dxa_n8,
-    dy_c, dy_p8, dy_n8, dya_c, dya_p8, dya_n8,
-    vel_c, vel_p8, vel_n8, bcd_c, bcd_p8, bcd_n8,
-    inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
-    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
+def _cip_dye_body(
+    ti, n_t: int, re: float, dt: float, dx: float, chans: int,
+    win, vele, inflowe, nwe, fluid,
+    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, cs,
 ):
-    ti = pl.program_id(0)
-    chans = d_c.shape[0]
-
-    vele = _ext(vel_c[:], vel_p8[:], vel_n8[:], ti, n_t, 1)  # (2, t+2, Y)
-    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
-    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    """Shared dye-phase compute. `win(key, c, hx)` yields the per-channel
+    row window for input `key`; `cs` slices output columns."""
     nw_mid = nwe != 0
     nw_in = nw_mid[1:-1]
-    fluid = fluid_ref[:] != 0
 
     for c in range(chans):
-        de = _ext(d_c[c], d_p8[c], d_n8[c], ti, n_t, 3)  # rows [-3, t+3)
-        bcde = _ext(bcd_c[c], bcd_p8[c], bcd_n8[c], ti, n_t, 3)
-        dae = _ext(da_c[c], da_p8[c], da_n8[c], ti, n_t, 2)
-        dxe = _ext(dx_c[c], dx_p8[c], dx_n8[c], ti, n_t, 1)
-        dxae = _ext(dxa_c[c], dxa_p8[c], dxa_n8[c], ti, n_t, 1)
-        dye_ = _ext(dy_c[c], dy_p8[c], dy_n8[c], ti, n_t, 1)
-        dyae = _ext(dya_c[c], dya_p8[c], dya_n8[c], ti, n_t, 1)
+        de = win("d", c, 3)  # rows [-3, t+3)
+        bcde = win("bcd", c, 3)
+        dae = win("da", c, 2)
+        dxe = win("dx", c, 1)
+        dxae = win("dxa", c, 1)
+        dye_ = win("dy", c, 1)
+        dyae = win("dya", c, 1)
 
         # 1. Dye BC (inflow colors) on rows [-3, t+3), re-clamped.
         dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, 3)
@@ -350,12 +435,77 @@ def _cip_dye_kernel(
         fn, fxn, fyn = cip_advect_window_expr(
             d_na[1:-1], gx_na, gy_na, vele[0], vele[1], dt, dx
         )
-        d_out[c] = clamp_field(jnp.where(fluid, fn, dc[3:-3]), 0.0, 1.0)
-        dx_out[c] = jnp.where(fluid, fxn, dxe[1:-1])
-        dy_out[c] = jnp.where(fluid, fyn, dye_[1:-1])
-        dna_out[c] = d_na[2:-2]
-        dxna_out[c] = gx_na[1:-1]
-        dyna_out[c] = gy_na[1:-1]
+        d_out[c] = clamp_field(jnp.where(fluid, cs(fn), cs(dc[3:-3])), 0.0, 1.0)
+        dx_out[c] = jnp.where(fluid, cs(fxn), cs(dxe[1:-1]))
+        dy_out[c] = jnp.where(fluid, cs(fyn), cs(dye_[1:-1]))
+        dna_out[c] = cs(d_na[2:-2])
+        dxna_out[c] = cs(gx_na[1:-1])
+        dyna_out[c] = cs(gy_na[1:-1])
+
+
+def _cip_dye_kernel(
+    n_t: int, re: float, dt: float, dx: float,
+    d_c, d_p8, d_n8, da_c, da_p8, da_n8,
+    dx_c, dx_p8, dx_n8, dxa_c, dxa_p8, dxa_n8,
+    dy_c, dy_p8, dy_n8, dya_c, dya_p8, dya_n8,
+    vel_c, vel_p8, vel_n8, bcd_c, bcd_p8, bcd_n8,
+    inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
+    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
+):
+    ti = pl.program_id(0)
+    chans = d_c.shape[0]
+
+    triples = {
+        "d": (d_c, d_p8, d_n8),
+        "da": (da_c, da_p8, da_n8),
+        "dx": (dx_c, dx_p8, dx_n8),
+        "dxa": (dxa_c, dxa_p8, dxa_n8),
+        "dy": (dy_c, dy_p8, dy_n8),
+        "dya": (dya_c, dya_p8, dya_n8),
+        "bcd": (bcd_c, bcd_p8, bcd_n8),
+    }
+
+    def win(key, c, hx):
+        a, b, d = triples[key]
+        return _ext(a[c], b[c], d[c], ti, n_t, hx)
+
+    vele = _ext(vel_c[:], vel_p8[:], vel_n8[:], ti, n_t, 1)
+    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+
+    _cip_dye_body(ti, n_t, re, dt, dx, chans, win, vele, inflowe, nwe, fluid,
+                  d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, lambda a: a)
+
+
+def _cip_dye_kernel_2d(
+    n_tx: int, n_ty: int, ty: int, chans: int, re: float, dt: float, dx: float,
+    *refs,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    it = iter(refs)
+    nine = lambda: [next(it)[:] for _ in range(9)]
+    vals = {k: nine() for k in ("d", "da", "dx", "dxa", "dy", "dya")}
+    vel9 = nine()
+    vals["bcd"] = nine()
+    # int8 lane-dim concats are unsupported by Mosaic — widen BEFORE _ext2d.
+    inflow9 = [a.astype(jnp.int32) for a in nine()]
+    nw9 = [a.astype(jnp.int32) for a in nine()]
+    fluid_ref = next(it)
+    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out = (next(it) for _ in range(6))
+
+    def win(key, c, hx):
+        return _ext2d([v[c] for v in vals[key]], ti, tj, n_tx, n_ty, hx)
+
+    vele = _ext2d(vel9, ti, tj, n_tx, n_ty, 1)
+    inflowe = _ext2d(inflow9, ti, tj, n_tx, n_ty, 3)
+    nwe = _ext2d(nw9, ti, tj, n_tx, n_ty, 2)
+    fluid = fluid_ref[:] != 0
+
+    cs = lambda a: a[..., :, 128 : 128 + ty]
+    _cip_dye_body(ti, n_tx, re, dt, dx, chans, win, vele, inflowe, nwe, fluid,
+                  d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, cs)
 
 
 def cip_dye_phase_pallas(
@@ -365,7 +515,8 @@ def cip_dye_phase_pallas(
 ):
     """Whole CIP dye phase (BC + diffusion + grads + advection + clamp).
 
-    Returns ``(dye_cur, dyex_cur, dyey_cur, d_na, dx_na, dy_na)``.
+    Returns ``(dye_cur, dyex_cur, dyey_cur, d_na, dx_na, dy_na)``. Row
+    tiling when the lane width fits VMEM, 2-D tiling otherwise.
     """
     chans, x_rows, y_cols = dye.shape
 
@@ -376,8 +527,10 @@ def cip_dye_phase_pallas(
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
-        msg = f"no valid tile for grid ({x_rows}, {y_cols})"
-        raise PallasInfeasibleError(msg)
+        return _cip_dye_phase_2d(
+            dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
+            interpret=interpret,
+        )
     n_t = x_rows // t
 
     h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
@@ -399,6 +552,51 @@ def cip_dye_phase_pallas(
         grid=(n_t,),
         in_specs=specs,
         out_specs=[_center_spec(t, y_cols, chans)] * 6,
+        out_shape=[out_sd] * 6,
+        interpret=interpret,
+    )(*args)
+
+
+def _cip_dye_cost2d_factory(chans: int):
+    def cost(t: int, ty: int) -> int:
+        per_ch = t * ty + 2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY
+        blocks = (7 * chans + 2) * per_ch + 0.5 * per_ch + (6 * chans + 1) * t * ty
+        stack = 60 * t * (ty + 2 * _HY)
+        return int(4 * (2 * blocks + stack))
+
+    return cost
+
+
+def _cip_dye_phase_2d(
+    dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx, *, interpret=False
+):
+    chans, x_rows, y_cols = dye.shape
+    tile = pick_tile2d(x_rows, y_cols, _cip_dye_cost2d_factory(chans))
+    if tile is None:
+        msg = f"no valid 1-D or 2-D tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
+    t, ty = tile
+    n_tx, n_ty = x_rows // t, y_cols // ty
+
+    h9 = lambda lead: _halo9_specs(t, ty, n_tx, n_ty, lead)  # noqa: E731
+    specs = (
+        h9(chans) + h9(chans) + h9(chans) + h9(chans) + h9(chans) + h9(chans)
+        + h9(2) + h9(chans) + h9(None) + h9(None) + [_center2d_spec(t, ty, None)]
+    )
+    args = (
+        [dye] * 9 + [dye_alt] * 9 + [dyex] * 9 + [dyex_alt] * 9 + [dyey] * 9 + [dyey_alt] * 9
+        + [vel] * 9 + [scene.bc_dye] * 9 + [scene.inflow8] * 9 + [scene.not_wall8] * 9
+        + [scene.fluid8]
+    )
+
+    kernel = functools.partial(_cip_dye_kernel_2d, n_tx, n_ty, ty, chans, re, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tx, n_ty),
+        in_specs=specs,
+        out_specs=[_center2d_spec(t, ty, chans)] * 6,
         out_shape=[out_sd] * 6,
         interpret=interpret,
     )(*args)

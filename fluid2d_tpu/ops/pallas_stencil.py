@@ -144,6 +144,117 @@ def _center_spec(t: int, y: int, lead: int | None):
     return pl.BlockSpec((lead, t, y), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
 
+# --- 2-D (row + lane) tiling -------------------------------------------------
+#
+# For lane widths where (t, Y) row-tiles no longer fit VMEM, the grid is
+# tiled in both dimensions. Each stencil input becomes NINE blocks: the
+# (t, ty) tile, 8-row x-side blocks, 128-col y-side blocks, and four
+# (8, 128) corners. The assembled window carries a full 128-column halo;
+# the window expressions run UNCHANGED on it — their `_sy` edge clamping
+# pollutes at most the stencil's column depth (≤8) into the halo, which
+# the caller slices off. At global y edges the halo replicates the edge
+# column (exact for raw inputs; computed intermediates would need the
+# clamp-of-computed treatment only at non-wall cells on the global y
+# edge, which no scene has — the y edges are walls, see docs/PARITY.md §3).
+
+_HY = 128  # lane-halo block columns (one lane tile)
+
+
+def _center2d_spec(t: int, ty: int, lead: int | None):
+    if lead is None:
+        return pl.BlockSpec((t, ty), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((lead, t, ty), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+
+
+def _halo9_specs(t: int, ty: int, n_tx: int, n_ty: int, lead: int | None):
+    """Nine BlockSpecs (cur, x±, y±, four corners) for one stencil input."""
+    tb = t // _HB
+    tyb = ty // _HY
+
+    def spec(shape2, row_map, col_map):
+        if lead is None:
+            return pl.BlockSpec(
+                shape2, lambda i, j: (row_map(i), col_map(j)), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec(
+            (lead, *shape2),
+            lambda i, j: (0, row_map(i), col_map(j)),
+            memory_space=pltpu.VMEM,
+        )
+
+    r_cur = lambda i: i  # noqa: E731
+    r_m = lambda i: jnp.maximum(i * tb - 1, 0)  # noqa: E731
+    r_p = lambda i: jnp.minimum(i * tb + tb, n_tx * tb - 1)  # noqa: E731
+    c_cur = lambda j: j  # noqa: E731
+    c_m = lambda j: jnp.maximum(j * tyb - 1, 0)  # noqa: E731
+    c_p = lambda j: jnp.minimum(j * tyb + tyb, n_ty * tyb - 1)  # noqa: E731
+
+    return [
+        spec((t, ty), r_cur, c_cur),
+        spec((_HB, ty), r_m, c_cur),
+        spec((_HB, ty), r_p, c_cur),
+        spec((t, _HY), r_cur, c_m),
+        spec((t, _HY), r_cur, c_p),
+        spec((_HB, _HY), r_m, c_m),
+        spec((_HB, _HY), r_m, c_p),
+        spec((_HB, _HY), r_p, c_m),
+        spec((_HB, _HY), r_p, c_p),
+    ]
+
+
+def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int):
+    """(…, t+2hx, ty+2·128) window from a 9-block fetch (as arrays), with
+    raw clamp-to-edge replication at the global row/column ends."""
+    cur, xm, xp, ym, yp, cmm, cmp_, cpm, cpp = vals9
+    cat_y = lambda parts: jnp.concatenate(parts, axis=-1)  # noqa: E731
+    cat_x = lambda parts: jnp.concatenate(parts, axis=-2)  # noqa: E731
+
+    def fix_y(band):
+        left = jnp.where(
+            tj == 0, jnp.repeat(band[..., :, _HY : _HY + 1], _HY, axis=-1), band[..., :, :_HY]
+        )
+        right = jnp.where(
+            tj == n_ty - 1,
+            jnp.repeat(band[..., :, -_HY - 1 : -_HY], _HY, axis=-1),
+            band[..., :, -_HY:],
+        )
+        return cat_y([left, band[..., :, _HY:-_HY], right])
+
+    # Lane-dim concats need operands with matching sublane offsets
+    # (Mosaic: "offset mismatch on non-concat dimension"), so assemble
+    # full 8-row bands and do the row-halo slice once at the end.
+    mid = fix_y(cat_y([ym, cur, yp]))
+    top8 = fix_y(cat_y([cmm, xm, cmp_]))
+    bot8 = fix_y(cat_y([cpm, xp, cpp]))
+
+    top8 = jnp.where(
+        ti == 0, jnp.repeat(mid[..., :1, :], top8.shape[-2], axis=-2), top8
+    )
+    bot8 = jnp.where(
+        ti == n_tx - 1, jnp.repeat(mid[..., -1:, :], bot8.shape[-2], axis=-2), bot8
+    )
+    full = cat_x([top8, mid, bot8])
+    hb = top8.shape[-2]
+    t = cur.shape[-2]
+    return full[..., hb - hx : hb + t + hx, :]
+
+
+def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 14 * 2**20):
+    """(t, ty) with t | x (mult of 8), ty | y (mult of 128), ≥2 tiles per
+    axis, minimizing grid count subject to the VMEM budget."""
+    t_opts = [t for t in range(min(128, x // 2), 7, -8) if x % t == 0]
+    ty_opts = [ty for ty in range(min(2048, y // 2), _HY - 1, -_HY) if y % ty == 0]
+    best = None
+    for ty in ty_opts:
+        for t in t_opts:
+            if cost_bytes(t, ty) <= budget:
+                n_grid = (x // t) * (y // ty)
+                if best is None or n_grid < best[0]:
+                    best = (n_grid, t, ty)
+                break  # t is descending: first fit is the largest for this ty
+    return (best[1], best[2]) if best else None
+
+
 # ---------------------------------------------------------------------------
 # CIP advection phase (fs/solver.py:267-332 + the masked buffer writes).
 # ---------------------------------------------------------------------------

@@ -96,6 +96,44 @@ def test_sor_iteration_pallas_matches_jnp(tile):
                                    atol=1e-5 * scale, rtol=0, err_msg=name)
 
 
+def test_full_step_2d_tiled_matches_xla(monkeypatch):
+    """The 2-D (row + lane) tiled phase kernels — used when the lane
+    width exceeds the 1-D VMEM budget — against the XLA path. Forcing
+    the 2-D dispatch by making every 1-D phase tile infeasible."""
+    import jax
+
+    import fluid2d_tpu.ops.pallas_phases as ph
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.models.simulator import step_fn_for
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+    from fluid2d_tpu.state import init_state
+    from tests.test_parity import _random_fields, _seed_state
+
+    res = 256  # Y=256 → ty=128, n_ty=2
+    _, mask, _ = build_scene_arrays(2, res)
+    scene = get_scene(2, res)
+    fields = _random_fields(mask, True, True, seed=6)
+
+    cfg = SimConfig.create(resolution=res, re=1000.0, scheme="cip",
+                           vor_eps=5.0, enable_dye=True, kernels="xla")
+    step = jax.jit(step_fn_for(cfg))
+    ref = step(step(_seed_state(init_state(scene, cfg), fields), scene), scene)
+
+    monkeypatch.setattr(ph, "_vmem_tile", lambda *a, **k: None)
+    cfg2 = SimConfig.create(resolution=res, re=1000.0, scheme="cip",
+                            vor_eps=5.0, enable_dye=True, kernels="pallas_interpret")
+    step2 = jax.jit(step_fn_for(cfg2))
+    got = step2(step2(_seed_state(init_state(scene, cfg2), fields), scene), scene)
+
+    for name, a, b in zip(ref._fields, ref, got):
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=0, err_msg=name)
+
+
 def test_pick_tile():
     assert pick_tile(3200) is not None and 3200 % pick_tile(3200) == 0
     assert pick_tile(40) == 8
