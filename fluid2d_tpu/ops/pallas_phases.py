@@ -291,7 +291,7 @@ def _cip_velocity_kernel_2d(
     nwe = e2i(nw9, 2)
     fluid = fluid_ref[:] != 0
 
-    cs = lambda a: a[..., :, 128 : 128 + ty]
+    cs = lambda a: a[..., :, _HY : _HY + ty]
     _cip_velocity_body(
         ti, n_tx, re, dt, dx,
         ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
@@ -349,12 +349,23 @@ def cip_velocity_phase_pallas(
     )(*args)
 
 
-def _cip_velocity_cost2d(t: int, ty: int) -> int:
-    """Estimated VMEM bytes for the 2-D velocity-phase kernel."""
-    per_ch = t * ty + 2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY
-    blocks = 15 * per_ch + 0.5 * per_ch + 12 * t * ty + t * ty
-    stack = 60 * t * (ty + 2 * _HY)
-    return int(4 * (2 * blocks + stack))
+def _cost2d(n_f32_halo: float, n_i8_halo: float, n_center: float):
+    """VMEM byte model shared by the 2-D kernels: nine-block footprints
+    for halo inputs (double-buffered), center blocks, and the Mosaic
+    stack for the window-sized expression DAG."""
+
+    def cost(t: int, ty: int) -> int:
+        per_ch = t * ty + 2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY
+        blocks = (n_f32_halo + n_i8_halo / 4) * per_ch + n_center * t * ty
+        stack = 60 * t * (ty + 2 * _HY)
+        return int(4 * (2 * blocks + stack))
+
+    return cost
+
+
+# velocity: 15 f32 halo ch (v2, p1, valt2, grads+alts 8, const2), 2 i8,
+# 12 output ch + fluid.
+_cip_velocity_cost2d = _cost2d(15, 2, 13)
 
 
 def _cip_velocity_phase_2d(
@@ -503,7 +514,7 @@ def _cip_dye_kernel_2d(
     nwe = _ext2d(nw9, ti, tj, n_tx, n_ty, 2)
     fluid = fluid_ref[:] != 0
 
-    cs = lambda a: a[..., :, 128 : 128 + ty]
+    cs = lambda a: a[..., :, _HY : _HY + ty]
     _cip_dye_body(ti, n_tx, re, dt, dx, chans, win, vele, inflowe, nwe, fluid,
                   d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, cs)
 
@@ -558,13 +569,8 @@ def cip_dye_phase_pallas(
 
 
 def _cip_dye_cost2d_factory(chans: int):
-    def cost(t: int, ty: int) -> int:
-        per_ch = t * ty + 2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY
-        blocks = (7 * chans + 2) * per_ch + 0.5 * per_ch + (6 * chans + 1) * t * ty
-        stack = 60 * t * (ty + 2 * _HY)
-        return int(4 * (2 * blocks + stack))
-
-    return cost
+    # dye: 7 C-channel halo inputs + 2ch velocity, 2 i8, 6C outputs + fluid.
+    return _cost2d(7 * chans + 2, 2, 6 * chans + 1)
 
 
 def _cip_dye_phase_2d(

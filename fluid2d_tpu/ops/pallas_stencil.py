@@ -241,9 +241,17 @@ def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int):
 
 def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 14 * 2**20):
     """(t, ty) with t | x (mult of 8), ty | y (mult of 128), ≥2 tiles per
-    axis, minimizing grid count subject to the VMEM budget."""
-    t_opts = [t for t in range(min(128, x // 2), 7, -8) if x % t == 0]
-    ty_opts = [ty for ty in range(min(2048, y // 2), _HY - 1, -_HY) if y % ty == 0]
+    axis, minimizing grid count subject to the VMEM budget.
+
+    Candidate starts MUST be rounded down to the alignment unit —
+    stepping by -8/-128 from an unrounded start would yield misaligned
+    tiles whose block index maps (in units of _HB/_HY) silently fetch
+    the wrong halo columns.
+    """
+    t_top = (min(128, x // 2) // _HB) * _HB
+    ty_top = (min(2048, y // 2) // _HY) * _HY
+    t_opts = [t for t in range(t_top, _HB - 1, -_HB) if x % t == 0]
+    ty_opts = [ty for ty in range(ty_top, _HY - 1, -_HY) if y % ty == 0]
     best = None
     for ty in ty_opts:
         for t in t_opts:

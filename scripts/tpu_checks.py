@@ -57,6 +57,39 @@ def main() -> int:
         d = float(np.abs(a - b).max())
         ok &= check(f"pallas==xla {name}", d <= 1e-4 * scale, f"maxdiff {d:.2e}")
 
+    # 1b. Same equivalence with the 2-D tiled phase kernels forced
+    #     (the compiled path — interpret-mode tests can't catch Mosaic
+    #     lowering bugs). Needs Y ≥ 256 so a 2-D tiling exists; verify
+    #     the forced dispatch really took the 2-D path (a silent XLA
+    #     fallback would make this check vacuous).
+    import fluid2d_tpu.ops.pallas_phases as ph
+
+    res2d = max(res, 256)
+    scene2d = get_scene(2, res2d)
+    tile2d = __import__("fluid2d_tpu.ops.pallas_stencil", fromlist=["pick_tile2d"]).pick_tile2d(
+        2 * res2d, res2d, ph._cip_velocity_cost2d
+    )
+    ok &= check("2-D tiling available at check resolution", tile2d is not None, f"{tile2d}")
+    cfg = SimConfig.create(resolution=res2d, re=1000.0, scheme="cip",
+                           vor_eps=None, enable_dye=True, kernels="xla")
+    ref2d = make_run_fn(cfg)(init_state(scene2d, cfg), scene2d, steps)
+    np.asarray(ref2d.v)
+    orig_vmem_tile = ph._vmem_tile
+    try:
+        ph._vmem_tile = lambda *a, **k: None  # make every 1-D tile infeasible
+        cfg = SimConfig.create(resolution=res2d, re=1000.0, scheme="cip",
+                               vor_eps=None, enable_dye=True, kernels="pallas")
+        out2d = make_run_fn(cfg)(init_state(scene2d, cfg), scene2d, steps)
+        np.asarray(out2d.v)
+    finally:
+        ph._vmem_tile = orig_vmem_tile
+    for name in ("v", "p", "dye"):
+        a = np.asarray(getattr(out2d, name))
+        b = np.asarray(getattr(ref2d, name))
+        scale = max(1.0, float(np.abs(b).max()))
+        d = float(np.abs(a - b).max())
+        ok &= check(f"pallas2d==xla {name}", d <= 1e-4 * scale, f"maxdiff {d:.2e}")
+
     # 2. Full-feature stability (confinement + dye + limiter).
     for scheme in ("cip", "kk", "upwind"):
         cfg = SimConfig.create(resolution=res, re=1e6, scheme=scheme,

@@ -141,6 +141,24 @@ def test_pick_tile():
     assert pick_tile(10) is None  # pathological → jnp fallback
 
 
+def test_pick_tile2d_alignment():
+    """Tiles must be multiples of (8, 128): the block index maps work in
+    those units, so a misaligned tile silently fetches wrong halos.
+    Unalignable grids must return None (→ XLA fallback), not a bad tile."""
+    from fluid2d_tpu.ops.pallas_stencil import pick_tile2d
+
+    cheap = lambda t, ty: 0  # noqa: E731
+    for x, y in [(8192, 4096), (640, 512), (1024, 256)]:
+        tile = pick_tile2d(x, y, cheap)
+        assert tile is not None
+        t, ty = tile
+        assert x % t == 0 and t % 8 == 0
+        assert y % ty == 0 and ty % 128 == 0
+    # y with no 128-multiple divisor ≥128 and ≥2 tiles → None
+    assert pick_tile2d(640, 320, cheap) is None
+    assert pick_tile2d(4000, 2000, cheap) is None
+
+
 @pytest.mark.parametrize("scheme", ["cip", "upwind", "kk"])
 @pytest.mark.parametrize("num", [1, 2])
 def test_full_step_pallas_interpret_matches_xla(scheme, num):
