@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Resume from a checkpoint written by --checkpoint")
     parser.add_argument("--pressure-solver", type=str, choices=["sor", "jacobi"],
                         default="sor")
+    parser.add_argument("--kernels", type=str, choices=["auto", "xla", "pallas"],
+                        default="auto",
+                        help="Compute path: fused Pallas kernels (TPU default) "
+                             "or plain XLA")
     parser.add_argument("--sor-omega", type=float, default=1.3)
     parser.add_argument("--pressure-iters", type=int, default=2)
     parser.add_argument("--log-every", type=int, default=0,
@@ -101,6 +105,14 @@ def main(argv: list[str] | None = None) -> None:
     dt = args.time_step if args.time_step != 0.0 else None
     vor_eps = args.vorticity_confinement if args.vorticity_confinement != 0.0 else None
 
+    if args.kernels == "pallas":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            print("note: --kernels pallas on a non-TPU backend runs in "
+                  "interpreter mode (slow; for debugging)")
+            args.kernels = "pallas_interpret"
+
     if args.resume:
         # Scene identity (bc number / mask image) is stored in the
         # checkpoint; CLI flags are overrides only.
@@ -116,6 +128,7 @@ def main(argv: list[str] | None = None) -> None:
             pressure_solver=args.pressure_solver,
             sor_omega=args.sor_omega,
             n_pressure_iter=args.pressure_iters,
+            kernels=args.kernels,
         )
         scene = get_scene(args.boundary_condition, args.resolution,
                           mask_image=args.mask_image or None)
