@@ -200,38 +200,36 @@ def _cip_velocity_body(
     u_na = _reclamp(u_na, ti, n_t, 2)
     w_na = _reclamp(w_na, ti, n_t, 2)
 
-    # 3. Gradient update on rows [-1, t+1).
-    du = u_na - uc_bc[1:-1]  # rows [-2, t+2)
-    dw = w_na - wc_bc[1:-1]
+    # 3+4. Gradient update (rows [-1, t+1)) then CIP advection at fluid
+    #    cells, carried by the phase-1 velocity; non-fluid keeps the
+    #    BC'd pre-phase velocity / pre-phase grads. One channel at a
+    #    time, each output stored as soon as it is computed — Mosaic's
+    #    VMEM stack follows trace-order liveness, so finishing the u
+    #    channel before creating the w channel's temporaries nearly
+    #    halves the kernel's peak live set (→ larger feasible tiles).
     nw_in = nw_mid[1:-1]  # rows [-1, t+1)
-    ux_na = jnp.where(nw_in, _grad_update_window(vxe[0], du, "x", dx), vxae[0])
-    wx_na = jnp.where(nw_in, _grad_update_window(vxe[1], dw, "x", dx), vxae[1])
-    uy_na = jnp.where(nw_in, _grad_update_window(vye[0], du, "y", dx), vyae[0])
-    wy_na = jnp.where(nw_in, _grad_update_window(vye[1], dw, "y", dx), vyae[1])
-    ux_na = _reclamp(ux_na, ti, n_t, 1)
-    wx_na = _reclamp(wx_na, ti, n_t, 1)
-    uy_na = _reclamp(uy_na, ti, n_t, 1)
-    wy_na = _reclamp(wy_na, ti, n_t, 1)
-
-    # 4. CIP advection at fluid cells, carried by the phase-1 velocity;
-    #    non-fluid keeps the BC'd pre-phase velocity / pre-phase grads.
     u_na_in = u_na[1:-1]  # rows [-1, t+1)
     w_na_in = w_na[1:-1]
-    fn_u, fxn_u, fyn_u = cip_advect_window_expr(u_na_in, ux_na, uy_na, u_na_in, w_na_in, dt, dx)
-    fn_w, fxn_w, fyn_w = cip_advect_window_expr(w_na_in, wx_na, wy_na, u_na_in, w_na_in, dt, dx)
-
-    v_out[0] = jnp.where(fluid, cs(fn_u), cs(uc_bc[3:-3]))
-    v_out[1] = jnp.where(fluid, cs(fn_w), cs(wc_bc[3:-3]))
-    vx_out[0] = jnp.where(fluid, cs(fxn_u), cs(vxe[0][1:-1]))
-    vx_out[1] = jnp.where(fluid, cs(fxn_w), cs(vxe[1][1:-1]))
-    vy_out[0] = jnp.where(fluid, cs(fyn_u), cs(vye[0][1:-1]))
-    vy_out[1] = jnp.where(fluid, cs(fyn_w), cs(vye[1][1:-1]))
     vna_out[0] = cs(u_na[2:-2])
     vna_out[1] = cs(w_na[2:-2])
-    vxna_out[0] = cs(ux_na[1:-1])
-    vxna_out[1] = cs(wx_na[1:-1])
-    vyna_out[0] = cs(uy_na[1:-1])
-    vyna_out[1] = cs(wy_na[1:-1])
+
+    for c, (f_na, fc_bc, delta) in enumerate(
+        ((u_na, uc_bc, lambda: u_na - uc_bc[1:-1]),
+         (w_na, wc_bc, lambda: w_na - wc_bc[1:-1]))
+    ):
+        d = delta()  # rows [-2, t+2)
+        gx_na = jnp.where(nw_in, _grad_update_window(vxe[c], d, "x", dx), vxae[c])
+        gy_na = jnp.where(nw_in, _grad_update_window(vye[c], d, "y", dx), vyae[c])
+        gx_na = _reclamp(gx_na, ti, n_t, 1)
+        gy_na = _reclamp(gy_na, ti, n_t, 1)
+        vxna_out[c] = cs(gx_na[1:-1])
+        vyna_out[c] = cs(gy_na[1:-1])
+        fn, fxn, fyn = cip_advect_window_expr(
+            f_na[1:-1], gx_na, gy_na, u_na_in, w_na_in, dt, dx
+        )
+        v_out[c] = jnp.where(fluid, cs(fn), cs(fc_bc[3:-3]))
+        vx_out[c] = jnp.where(fluid, cs(fxn), cs(vxe[c][1:-1]))
+        vy_out[c] = jnp.where(fluid, cs(fyn), cs(vye[c][1:-1]))
 
 
 def _cip_velocity_kernel(
