@@ -83,7 +83,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    def explicit(dest: str) -> bool:
+        """Whether a flag differs from its default (≈ explicitly passed;
+        re-passing the exact default is indistinguishable and treated as
+        not-given, which is harmless for override purposes)."""
+        return getattr(args, dest) != parser.get_default(dest)
+
+    if args.visualization == 3 and args.no_dye:
+        parser.error("-vis 3 (dye) requires dye transport; drop -no_dye")
 
     if args.cpu:
         import jax
@@ -114,9 +124,40 @@ def main(argv: list[str] | None = None) -> None:
             args.kernels = "pallas_interpret"
 
     if args.resume:
-        # Scene identity (bc number / mask image) is stored in the
-        # checkpoint; CLI flags are overrides only.
-        sim = FluidSimulator.load(args.resume)
+        # Scene identity and config come from the checkpoint; explicitly
+        # passed CLI flags override where that is state-compatible.
+        sim = FluidSimulator.load(
+            args.resume,
+            bc_num=args.boundary_condition if explicit("boundary_condition") else None,
+            mask_image=args.mask_image if explicit("mask_image") else None,
+        )
+        overrides = {}
+        if explicit("reynolds_num"):
+            overrides["re"] = args.reynolds_num
+        if explicit("vorticity_confinement"):
+            overrides["vor_eps"] = vor_eps
+        if explicit("time_step"):
+            overrides["dt"] = args.time_step
+        if explicit("sor_omega"):
+            overrides["sor_omega"] = args.sor_omega
+        if explicit("pressure_iters"):
+            overrides["n_pressure_iter"] = args.pressure_iters
+        if explicit("pressure_solver"):
+            overrides["pressure_solver"] = args.pressure_solver
+        if explicit("kernels"):
+            overrides["kernels"] = args.kernels
+        for dest, flag in (("advection_scheme", "-scheme"), ("no_dye", "-no_dye"),
+                           ("resolution", "-res")):
+            if explicit(dest):
+                print(f"note: {flag} cannot change on --resume (the checkpointed "
+                      f"state's shape/fields depend on it); keeping the stored value")
+        if overrides:
+            import dataclasses
+
+            sim = FluidSimulator(sim.scene, dataclasses.replace(sim.cfg, **overrides),
+                                 state=sim.state, scene_meta=sim.scene_meta)
+        if args.visualization == 3 and not sim.cfg.enable_dye:
+            parser.error("-vis 3 (dye) but the checkpoint was written without dye")
     else:
         cfg = SimConfig.create(
             resolution=args.resolution,
@@ -144,8 +185,13 @@ def main(argv: list[str] | None = None) -> None:
         shard_simulator(sim, args.shard)
 
     cfg = sim.cfg
+    # Report the scene actually in effect (on --resume the checkpoint's
+    # stored identity, not the argparse default).
+    scene_desc = sim.scene_meta.get("mask_image") or sim.scene_meta.get(
+        "bc_num", args.boundary_condition
+    )
     print(
-        f"Boundary Condition: {args.boundary_condition}\ndt: {cfg.dt}\nRe: {cfg.re}\n"
+        f"Boundary Condition: {scene_desc}\ndt: {cfg.dt}\nRe: {cfg.re}\n"
         f"Resolution: {cfg.resolution}\nScheme: {cfg.scheme}\n"
         f"Vorticity confinement: {cfg.vor_eps}"
     )

@@ -41,6 +41,12 @@ class SimConfig:
     # "auto": fused Pallas kernels on TPU, plain XLA elsewhere;
     # "pallas" / "xla" force a path; "pallas_interpret" for CPU testing.
     kernels: str = "auto"
+    # SOR iterations fused per Pallas kernel (1 or 2). 2 halves the
+    # pressure phase's HBM passes but measured ~2% SLOWER at res=1600 on
+    # v5e (the kernels are VPU-bound there and the depth-6 halo windows
+    # add compute) — see docs/BENCH.md ledger. Kept selectable for
+    # bandwidth-starved regimes.
+    sor_fuse: int = 1
 
     @staticmethod
     def create(
@@ -55,6 +61,7 @@ class SimConfig:
         n_pressure_iter: int = 2,
         velocity_limit: float = VELOCITY_LIMIT,
         kernels: str = "auto",
+        sor_fuse: int = 1,
     ) -> "SimConfig":
         """Mirror of the reference CLI's derived parameters
         (``main.py:56,63``): dt defaults to 0.05/res, dx = 1/res,
@@ -80,4 +87,5 @@ class SimConfig:
             n_pressure_iter=n_pressure_iter,
             velocity_limit=velocity_limit,
             kernels=kernels,
+            sor_fuse=sor_fuse,
         )

@@ -52,21 +52,28 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     (``fs/pressure_updater.py:56-60,86-90``). Returns the new
     ``(p_cur, p_alt)`` pair."""
     sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
+    interp = cfg.kernels == "pallas_interpret"
+    if sor_pallas and cfg.n_pressure_iter <= 4:
+        try:
+            return _sor_pallas_iters(p_cur, p_alt, v, scene, cfg, interp)
+        except PallasInfeasibleError:
+            sor_pallas = False
     if sor_pallas:
+        from fluid2d_tpu.ops.pallas_stencil import suppress_traffic_log
+
         try:  # feasibility is resolution-dependent; probe at trace time
-            sor_iteration_pallas(
-                p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
-                cfg.sor_omega, cfg.dt, cfg.dx,
-                interpret=(cfg.kernels == "pallas_interpret"),
-            )
+            with suppress_traffic_log():
+                sor_iteration_pallas(
+                    p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
+                    cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
+                )
         except PallasInfeasibleError:
             sor_pallas = False
     if sor_pallas:
         one = lambda pair, _: (  # noqa: E731
             sor_iteration_pallas(
                 *pair, v[0], v[1], scene.pbc_code, scene.fluid8,
-                cfg.sor_omega, cfg.dt, cfg.dx,
-                interpret=(cfg.kernels == "pallas_interpret"),
+                cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
             ),
             None,
         )
@@ -100,24 +107,48 @@ def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     if sor_pallas and 1 <= cfg.n_pressure_iter <= 4:
         interp = cfg.kernels == "pallas_interpret"
         try:
-            return _sor_pallas_with_limit(p_cur, p_alt, v, scene, cfg, interp)
+            return _sor_pallas_iters(
+                p_cur, p_alt, v, scene, cfg, interp, v_limit=cfg.velocity_limit
+            )
         except PallasInfeasibleError:
             pass
     p_cur, p_alt = update_pressure(p_cur, p_alt, v, scene, cfg)
     return p_cur, p_alt, limit_vector_norm(v, cfg.velocity_limit)
 
 
-def _sor_pallas_with_limit(p_cur, p_alt, v, scene, cfg, interp):
-    for _ in range(cfg.n_pressure_iter - 1):
-        p_cur, p_alt = sor_iteration_pallas(
-            p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
-            cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
+def _sor_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
+    """The Pallas SOR chain; with ``cfg.sor_fuse >= 2``, greedy
+    2-iterations-per-kernel fusion (n=2 → ONE kernel; 3 → 2+1; 4 → 2+2),
+    degrading to single-iteration kernels where the depth-6-halo fused
+    kernel doesn't fit VMEM. Raises PallasInfeasibleError only when even
+    the single-iteration kernel is infeasible (caller falls back to the
+    jnp path). With `v_limit`, the velocity limiter folds into the final
+    call and a 3-tuple ``(p_cur, p_alt, v_limited)`` is returned."""
+
+    def call(pair, k, vl):
+        return sor_iteration_pallas(
+            *pair, v[0], v[1], scene.pbc_code, scene.fluid8,
+            cfg.sor_omega, cfg.dt, cfg.dx, n_iters=k, v_limit=vl, interpret=interp,
         )
-    return sor_iteration_pallas(
-        p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
-        cfg.sor_omega, cfg.dt, cfg.dx,
-        v_limit=cfg.velocity_limit, interpret=interp,
-    )
+
+    from fluid2d_tpu.ops.pallas_stencil import suppress_traffic_log
+
+    n = cfg.n_pressure_iter
+    step = 2 if n >= 2 and getattr(cfg, "sor_fuse", 1) >= 2 else 1
+    with suppress_traffic_log():  # probes are DCE'd under jit — don't log
+        if step == 2:
+            try:
+                call((p_cur, p_alt), 2, None)
+            except PallasInfeasibleError:
+                step = 1
+        if step == 1:
+            call((p_cur, p_alt), 1, None)  # may raise → caller falls back
+
+    pair = (p_cur, p_alt)
+    while n > step:
+        pair = call(pair, step, None)
+        n -= step
+    return call(pair, n, v_limit)
 
 
 def confinement(v_cur, v_alt, scene: Scene, cfg: SimConfig):

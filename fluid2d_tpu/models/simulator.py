@@ -85,8 +85,14 @@ class FluidSimulator:
         vor_eps: float | None = 5.0,
         scheme: str = "cip",
         enable_dye: bool = True,
+        mask_image: str | None = None,
         **config_overrides,
     ) -> "FluidSimulator":
+        """`mask_image` (an image path or bundled asset name: dragon,
+        rabbit, aircraft) builds a scene-6-style obstacle layout from the
+        silhouette, replacing `bc_num` — same override the CLI's
+        ``--mask-image`` provides (generalizes the reference's hardwired
+        dragon, ``fs/boundary_condition.py:508-513``)."""
         cfg = SimConfig.create(
             resolution=resolution,
             dt=dt,
@@ -97,9 +103,9 @@ class FluidSimulator:
             **config_overrides,
         )
         return cls(
-            get_scene(bc_num, resolution),
+            get_scene(bc_num, resolution, mask_image=mask_image),
             cfg,
-            scene_meta={"bc_num": bc_num, "mask_image": None},
+            scene_meta={"bc_num": bc_num, "mask_image": mask_image},
         )
 
     # -- stepping ----------------------------------------------------------

@@ -46,8 +46,13 @@ from fluid2d_tpu.ops.pallas_stencil import (
     _halo_triple_specs,
     _sy,
     _vmem_tile,
+    center_bytes,
     cip_advect_window_expr,
+    cip_velocity_ctx,
+    log_traffic,
+    nine_bytes,
     pick_tile2d,
+    triple_bytes,
 )
 
 __all__ = [
@@ -212,6 +217,9 @@ def _cip_velocity_body(
     w_na_in = w_na[1:-1]
     vna_out[0] = cs(u_na[2:-2])
     vna_out[1] = cs(w_na[2:-2])
+    # Carrying-velocity context shared by both channels (Mosaic has no
+    # CSE pass over the traced loop body).
+    vctx = cip_velocity_ctx(u_na_in, w_na_in, dt, dx)
 
     for c, (f_na, fc_bc, delta) in enumerate(
         ((u_na, uc_bc, lambda: u_na - uc_bc[1:-1]),
@@ -225,7 +233,7 @@ def _cip_velocity_body(
         vxna_out[c] = cs(gx_na[1:-1])
         vyna_out[c] = cs(gy_na[1:-1])
         fn, fxn, fyn = cip_advect_window_expr(
-            f_na[1:-1], gx_na, gy_na, u_na_in, w_na_in, dt, dx
+            f_na[1:-1], gx_na, gy_na, u_na_in, w_na_in, dt, dx, ctx=vctx
         )
         v_out[c] = jnp.where(fluid, cs(fn), cs(fc_bc[3:-3]))
         vx_out[c] = jnp.where(fluid, cs(fxn), cs(vxe[c][1:-1]))
@@ -333,6 +341,13 @@ def cip_velocity_phase_pallas(
         [v] * 3 + [p] * 3 + [v_alt] * 3 + [vx] * 3 + [vx_alt] * 3 + [vy] * 3 + [vy_alt] * 3
         + [scene.vbc_code] * 3 + [scene.bc_const] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
     )
+    log_traffic(
+        "cip_velocity",
+        15 * triple_bytes(x_rows, y_cols, t, None)
+        + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 12 * center_bytes(x_rows, y_cols, None),
+    )
 
     kernel = functools.partial(_cip_velocity_kernel, n_t, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -386,6 +401,13 @@ def _cip_velocity_phase_2d(
         [v] * 9 + [p] * 9 + [v_alt] * 9 + [vx] * 9 + [vx_alt] * 9 + [vy] * 9 + [vy_alt] * 9
         + [scene.vbc_code] * 9 + [scene.bc_const] * 9 + [scene.not_wall8] * 9 + [scene.fluid8]
     )
+    log_traffic(
+        "cip_velocity_2d",
+        15 * nine_bytes(x_rows, y_cols, t, ty, None)
+        + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 12 * center_bytes(x_rows, y_cols, None),
+    )
 
     kernel = functools.partial(_cip_velocity_kernel_2d, n_tx, n_ty, ty, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -412,6 +434,8 @@ def _cip_dye_body(
     row window for input `key`; `cs` slices output columns."""
     nw_mid = nwe != 0
     nw_in = nw_mid[1:-1]
+    # Carrying-velocity context shared by all three dye channels.
+    vctx = cip_velocity_ctx(vele[0], vele[1], dt, dx)
 
     for c in range(chans):
         de = win("d", c, 3)  # rows [-3, t+3)
@@ -442,7 +466,7 @@ def _cip_dye_body(
         # 4. CIP advection by the (post-limit) velocity; then the global
         #    [0,1] clamp on the current buffer (fs/solver.py:366-373).
         fn, fxn, fyn = cip_advect_window_expr(
-            d_na[1:-1], gx_na, gy_na, vele[0], vele[1], dt, dx
+            d_na[1:-1], gx_na, gy_na, vele[0], vele[1], dt, dx, ctx=vctx
         )
         d_out[c] = clamp_field(jnp.where(fluid, cs(fn), cs(dc[3:-3])), 0.0, 1.0)
         dx_out[c] = jnp.where(fluid, cs(fxn), cs(dxe[1:-1]))
@@ -552,6 +576,13 @@ def cip_dye_phase_pallas(
         + [vel] * 3 + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.not_wall8] * 3
         + [scene.fluid8]
     )
+    log_traffic(
+        "cip_dye",
+        (6 * chans + 2 + chans) * triple_bytes(x_rows, y_cols, t, None)
+        + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 6 * chans * center_bytes(x_rows, y_cols, None),
+    )
 
     kernel = functools.partial(_cip_dye_kernel, n_t, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
@@ -591,6 +622,13 @@ def _cip_dye_phase_2d(
         [dye] * 9 + [dye_alt] * 9 + [dyex] * 9 + [dyex_alt] * 9 + [dyey] * 9 + [dyey_alt] * 9
         + [vel] * 9 + [scene.bc_dye] * 9 + [scene.inflow8] * 9 + [scene.not_wall8] * 9
         + [scene.fluid8]
+    )
+    log_traffic(
+        "cip_dye_2d",
+        (6 * chans + 2 + chans) * nine_bytes(x_rows, y_cols, t, ty, None)
+        + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 6 * chans * center_bytes(x_rows, y_cols, None),
     )
 
     kernel = functools.partial(_cip_dye_kernel_2d, n_tx, n_ty, ty, chans, re, dt, dx)
@@ -677,6 +715,12 @@ def confinement_pallas(
         + [_center_spec(t, y_cols, 2)]
         + _halo_triple_specs(t, y_cols, n_t, None)
     )
+    log_traffic(
+        "confinement",
+        2 * triple_bytes(x_rows, y_cols, t, None)
+        + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+        + 4 * center_bytes(x_rows, y_cols, None),
+    )
     kernel = functools.partial(_confinement_kernel, n_t, dt, weight, dx)
     vn = pl.pallas_call(
         kernel,
@@ -758,6 +802,13 @@ def mac_velocity_phase_pallas(
         + h2(None) + h2(2) + [_center_spec(t, y_cols, None)]
     )
     args = [v] * 3 + [p] * 3 + [v_alt] + [scene.vbc_code] * 3 + [scene.bc_const] * 3 + [scene.fluid8]
+    log_traffic(
+        "mac_velocity",
+        5 * triple_bytes(x_rows, y_cols, t, None)
+        + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 6 * center_bytes(x_rows, y_cols, None),
+    )
 
     kernel = functools.partial(_mac_velocity_kernel, n_t, scheme, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -825,6 +876,14 @@ def mac_dye_phase_pallas(
         + h2(chans) + h2(None) + [_center_spec(t, y_cols, None)]
     )
     args = [dye] * 3 + [vel, dye_alt] + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.fluid8]
+    log_traffic(
+        "mac_dye",
+        2 * chans * triple_bytes(x_rows, y_cols, t, None)
+        + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+        + (2 + chans) * center_bytes(x_rows, y_cols, None)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 2 * chans * center_bytes(x_rows, y_cols, None),
+    )
 
     kernel = functools.partial(_mac_dye_kernel, n_t, scheme, dt, dx)
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)

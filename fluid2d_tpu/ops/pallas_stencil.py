@@ -49,6 +49,60 @@ class PallasInfeasibleError(ValueError):
 
 _HB = 8  # side-halo block rows (Mosaic's sublane tile)
 
+# --- BlockSpec-derived HBM traffic ledger ------------------------------------
+#
+# When TRAFFIC_LOG is a list, every Pallas phase entry point appends
+# (kernel_name, hbm_bytes) computed from its ACTUAL BlockSpecs: each
+# halo-triple input fetches (t + 2·8) rows per tile (the 8-row side
+# blocks are re-fetched per tile), center inputs/outputs fetch exactly
+# the array once. This is the program's true DMA traffic — an upper
+# bound on useful bytes, used by utils/profiling.roofline_report.
+
+TRAFFIC_LOG: list | None = None
+_suppress_log = 0
+
+
+class suppress_traffic_log:
+    """Context manager: trace-time feasibility probes create pallas_calls
+    that jit later DCEs — keep them out of the ledger."""
+
+    def __enter__(self):
+        global _suppress_log
+        _suppress_log += 1
+
+    def __exit__(self, *exc):
+        global _suppress_log
+        _suppress_log -= 1
+
+
+def log_traffic(name: str, nbytes: float) -> None:
+    if TRAFFIC_LOG is not None and not _suppress_log:
+        TRAFFIC_LOG.append((name, int(nbytes)))
+
+
+def triple_bytes(x: int, y: int, t: int, lead: int | None, itemsize: int = 4) -> int:
+    """HBM bytes to stream one halo-triple input over the whole grid:
+    the (t, Y) tiles cover the array once; each tile adds two 8-row side
+    blocks."""
+    n_t = x // t
+    return (lead or 1) * (x + 2 * _HB * n_t) * y * itemsize
+
+
+def center_bytes(x: int, y: int, lead: int | None, itemsize: int = 4) -> int:
+    return (lead or 1) * x * y * itemsize
+
+
+_HY2 = 128  # mirrors _HY (the 2-D tiling lane-halo width, defined below)
+
+
+def nine_bytes(x: int, y: int, t: int, ty: int, lead: int | None, itemsize: int = 4) -> int:
+    """HBM bytes for one 9-block (2-D tiled) input: the tiles cover the
+    array once, plus per-tile x-side (2·8·ty), y-side (2·t·128) and
+    corner (4·8·128) blocks."""
+    n_tiles = (x // t) * (y // ty)
+    extra = (2 * _HB * ty + 2 * t * _HY2 + 4 * _HB * _HY2) * n_tiles
+    return (lead or 1) * (x * y + extra) * itemsize
+
 
 def pick_tile(x: int, preferred: int = 128) -> int | None:
     """Largest multiple-of-8 divisor of `x` that is ≤ preferred, with
@@ -268,20 +322,49 @@ def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 14 * 2**20):
 # ---------------------------------------------------------------------------
 
 
-def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float):
+def cip_velocity_ctx(u_w, w_w, dt: float, dx: float) -> dict:
+    """Channel-independent pieces of the CIP advection expression (the
+    carrying velocity's upwind signs/masks, departure offsets, and
+    velocity gradients). Hoisted out of per-channel loops: Mosaic lowers
+    the traced jaxpr without a CSE pass, so recomputing these per dye
+    channel costs real VPU time."""
+    u, u_xm, u_xp = u_w[1:-1], u_w[:-2], u_w[2:]
+    w, w_xm, w_xp = w_w[1:-1], w_w[:-2], w_w[2:]
+    i_s = jnp.where(u < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    j_s = jnp.where(w < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    return {
+        "up_x": jnp.logical_not(u < 0.0),
+        "up_y": jnp.logical_not(w < 0.0),
+        "i_s": i_s,
+        "j_s": j_s,
+        "i_s_denom": i_s * dx**3,
+        "j_s_denom": j_s * dx**3,
+        "X": -u * dt,
+        "Y": -w * dt,
+        "dudx": 0.5 * (u_xp - u_xm) / dx,
+        "dwdx": 0.5 * (w_xp - w_xm) / dx,
+        "dudy": 0.5 * (_sy(u, 1) - _sy(u, -1)) / dx,
+        "dwdy": 0.5 * (_sy(w, 1) - _sy(w, -1)) / dx,
+    }
+
+
+def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
+                           ctx: dict | None = None):
     """CIP advection (fs/solver.py:282-332) on aligned row windows: all
     inputs cover the same rows with a ±1 halo; returns the (len-2)-row
-    interior (fn, fxn, fyn). Column halos are built in-VMEM."""
+    interior (fn, fxn, fyn). Column halos are built in-VMEM. Pass a
+    precomputed `ctx` (:func:`cip_velocity_ctx`) when advecting several
+    channels by the same velocity."""
     f, f_xm, f_xp = f_w[1:-1], f_w[:-2], f_w[2:]
     fx, fx_xm, fx_xp = fx_w[1:-1], fx_w[:-2], fx_w[2:]
     fy, fy_xm, fy_xp = fy_w[1:-1], fy_w[:-2], fy_w[2:]
-    u, u_xm, u_xp = u_w[1:-1], u_w[:-2], u_w[2:]
-    w, w_xm, w_xp = w_w[1:-1], w_w[:-2], w_w[2:]
 
-    i_s = jnp.where(u < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
-    j_s = jnp.where(w < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
-    up_x = jnp.logical_not(u < 0.0)
-    up_y = jnp.logical_not(w < 0.0)
+    if ctx is None:
+        ctx = cip_velocity_ctx(u_w, w_w, dt, dx)
+    i_s = ctx["i_s"]
+    j_s = ctx["j_s"]
+    up_x = ctx["up_x"]
+    up_y = ctx["up_y"]
 
     sel_x = lambda m, p: jnp.where(up_x, m, p)  # noqa: E731
     sel_y = lambda m, p: jnp.where(up_y, m, p)  # noqa: E731
@@ -303,8 +386,8 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float):
     tmp2 = f_im - f
     tmp3 = f_jm - f
 
-    i_s_denom = i_s * dx**3
-    j_s_denom = j_s * dx**3
+    i_s_denom = ctx["i_s_denom"]
+    j_s_denom = ctx["j_s_denom"]
 
     a = (i_s * (fx_im + fx) * dx - 2.0 * (-tmp2)) / i_s_denom
     bb = (j_s * (fy_jm + fy) * dx - 2.0 * (-tmp3)) / j_s_denom
@@ -314,19 +397,15 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float):
     ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) / dx**2
     gg = (-(fy_im - fy) + cc * dx**2) / (i_s * dx)
 
-    X = -u * dt
-    Y = -w * dt
+    X = ctx["X"]
+    Y = ctx["Y"]
 
     fn = ((a * X + cc * Y + ee) * X + gg * Y + fx) * X + ((bb * Y + dd * X + ff) * Y + fy) * Y + f
     Fx = (3.0 * a * X + 2.0 * cc * Y + 2.0 * ee) * X + (dd * Y + gg) * Y + fx
     Fy = (3.0 * bb * Y + 2.0 * dd * X + 2.0 * ff) * Y + (cc * X + gg) * X + fy
 
-    dudx = 0.5 * (u_xp - u_xm) / dx
-    dwdx = 0.5 * (w_xp - w_xm) / dx
-    dudy = 0.5 * (_sy(u, 1) - _sy(u, -1)) / dx
-    dwdy = 0.5 * (_sy(w, 1) - _sy(w, -1)) / dx
-    fxn = Fx - dt * (Fx * dudx + Fy * dwdx) / 2.0
-    fyn = Fy - dt * (Fx * dudy + Fy * dwdy) / 2.0
+    fxn = Fx - dt * (Fx * ctx["dudx"] + Fy * ctx["dwdx"]) / 2.0
+    fyn = Fy - dt * (Fx * ctx["dudy"] + Fy * ctx["dwdy"]) / 2.0
     return fn, fxn, fyn
 
 
@@ -348,6 +427,7 @@ def _cip_kernel(
 
     ve = _ext(vel3[0][:], vel3[1][:], vel3[2][:], ti, n_t, h)
     fluid = fluid_ref[:] != 0
+    vctx = cip_velocity_ctx(ve[0], ve[1], dt, dx)
 
     # Per-channel compute keeps kernel temporaries (t, Y)-sized — the
     # whole-block (C, t, Y) expression DAG would overflow Mosaic's VMEM
@@ -357,7 +437,7 @@ def _cip_kernel(
         fxe = _ext(fx3[0][c], fx3[1][c], fx3[2][c], ti, n_t, h)
         fye = _ext(fy3[0][c], fy3[1][c], fy3[2][c], ti, n_t, h)
 
-        fn, fxn, fyn = cip_advect_window_expr(fe, fxe, fye, ve[0], ve[1], dt, dx)
+        fn, fxn, fyn = cip_advect_window_expr(fe, fxe, fye, ve[0], ve[1], dt, dx, ctx=vctx)
 
         fn_ref[c] = jnp.where(fluid, fn, alt_f[c])
         fxn_ref[c] = jnp.where(fluid, fxn, alt_fx[c])
@@ -403,6 +483,13 @@ def cip_advect_pallas(
         args += [vel, vel, vel]
     specs += [_center_spec(t, y_cols, chans)] * 3 + [_center_spec(t, y_cols, None)]
     args += [alt_f, alt_fx, alt_fy, fluid8]
+    log_traffic(
+        "cip_advect",
+        (3 * chans + (0 if vel_is_f else 2)) * triple_bytes(x_rows, y_cols, t, None)
+        + 3 * chans * center_bytes(x_rows, y_cols, None)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 3 * chans * center_bytes(x_rows, y_cols, None),
+    )
 
     kernel = functools.partial(_cip_kernel, n_t, dt, dx, vel_is_f)
     out_shape = [jax.ShapeDtypeStruct(f.shape, f.dtype) for _ in range(3)]
@@ -468,8 +555,32 @@ def _predict_p_expr(p, u, w, dt: float, dx: float):
     )
 
 
+def _sl(win, dh: int):
+    """Shave `dh` halo rows from each side of a row window."""
+    return win[dh:-dh, :] if dh else win
+
+
+def _reclamp_rows(win, ti, n_t: int, h: int):
+    """Re-impose clamp-to-edge on a COMPUTED row window.
+
+    `win` covers rows [-h, t+h). At grid-end tiles the out-of-domain halo
+    rows hold values computed from edge-replicated *raw* inputs — not the
+    clamp of the computed stage. Replace them with the window's true
+    domain-edge row, so any later read of global row <0 (or ≥X) resolves
+    to the computed row 0 (X−1) value, matching ``sample``'s semantics.
+    Interior tiles pass through untouched.
+    """
+    if h == 0:
+        return win
+    top = jnp.where(ti == 0, jnp.repeat(win[h : h + 1, :], h, axis=0), win[:h, :])
+    bot = jnp.where(
+        ti == n_t - 1, jnp.repeat(win[-h - 1 : -h, :], h, axis=0), win[-h:, :]
+    )
+    return jnp.concatenate([top, win[h:-h, :], bot], axis=0)
+
+
 def _sor_kernel(
-    n_t: int, omega: float, dt: float, dx: float, v_limit: float | None,
+    n_t: int, omega: float, dt: float, dx: float, v_limit: float | None, n_iters: int,
     p_c, p_p8, p_n8, pa_c, pa_p8, pa_n8, u_c, u_p8, u_n8, w_c, w_p8, w_n8,
     code_c, code_p8, code_n8, fl_c, fl_p8, fl_n8,
     pn_ref, pc_ref, *maybe_vlim_ref,
@@ -477,60 +588,74 @@ def _sor_kernel(
     ti = pl.program_id(0)
     t = p_c.shape[0]
     y = p_c.shape[1]
+    hh = 3 * n_iters  # each iteration consumes 3 halo rows: BC + odd + even
 
-    # Extended row windows (output rows are [0, t); the even sweep needs
-    # the odd result at ±1; odd needs BC'd p at ±1; BC needs raw p at ±1):
-    pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 3)  # rows [-3, t+3)
-    pae = _ext(pa_c[:], pa_p8[:], pa_n8[:], ti, n_t, 1)  # rows [-1, t+1)
-    ue = _ext(u_c[:], u_p8[:], u_n8[:], ti, n_t, 2)  # rows [-2, t+2)
-    we = _ext(w_c[:], w_p8[:], w_n8[:], ti, n_t, 2)
+    # Extended row windows (output rows are [0, t); per iteration the even
+    # sweep needs the odd result at ±1, odd needs BC'd p at ±1, BC needs
+    # its input at ±1):
+    pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, hh)  # rows [-hh, t+hh)
+    pae = _ext(pa_c[:], pa_p8[:], pa_n8[:], ti, n_t, hh - 2)
+    ue = _ext(u_c[:], u_p8[:], u_n8[:], ti, n_t, hh - 1)
+    we = _ext(w_c[:], w_p8[:], w_n8[:], ti, n_t, hh - 1)
     # int8 comparisons aren't universally supported by the VPU — widen.
-    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 2).astype(jnp.int32)
-    fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, 1).astype(jnp.int32)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, hh - 1).astype(jnp.int32)
+    fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, hh - 2).astype(jnp.int32)
 
-    pbc = _pressure_bc_expr(pe, codee)  # rows [-2, t+2), aligned with codee
-
-    # Parity of (global_i + j) on rows [-1, t+1): global row of window
-    # row k is r0 + k - 1.
+    # Parity of (global_i + j) on the widest sweep rows [-(hh-2), t+hh-2):
+    # global row of window row k is r0 + k - (hh-2).
     r0 = ti * t
     gi = (
-        jax.lax.broadcasted_iota(jnp.int32, (t + 2, y), 0)
-        + (r0 - 1)
-        + jax.lax.broadcasted_iota(jnp.int32, (t + 2, y), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (t + 2 * (hh - 2), y), 0)
+        + (r0 - (hh - 2))
+        + jax.lax.broadcasted_iota(jnp.int32, (t + 2 * (hh - 2), y), 1)
     )
-    odd = (gi % 2) == 1
-    fluid = fle != 0  # rows [-1, t+1)
+    odd_w = (gi % 2) == 1
+    fluid_w = fle != 0  # rows [-(hh-2), t+hh-2)
 
-    # Odd sweep on rows [-1, t+1): read BC'd current, write onto the
-    # alternate-buffer base.
-    pred_odd = _predict_p_expr(pbc, ue, we, dt, dx)  # rows [-1, t+1)
-    pbc_mid = pbc[1:-1, :]  # rows [-1, t+1)
-    pn1 = jnp.where(odd & fluid, (1.0 - omega) * pbc_mid + omega * pred_odd, pae)
+    cur = pe  # halo hh
+    alt = pae  # halo hh-2 (iteration 1 reads the caller's alt buffer)
+    for it in range(n_iters):
+        h = hh - 3 * it  # cur's halo at this iteration's entry
 
-    # Even sweep on rows [0, t): reads pn1 at ±1 (Gauss-Seidel coloring),
-    # its own stale value via the relaxation term, and clamp self-samples
-    # at the global edges. pn1's window halo rows hold pre-sweep-derived
-    # values at grid-end tiles, so rebuild the clamped halo from pn1's
-    # own edge rows there.
-    top = jnp.where(ti == 0, pn1[1:2, :], pn1[0:1, :])
-    bot = jnp.where(ti == n_t - 1, pn1[-2:-1, :], pn1[-1:, :])
-    pn1_ext = jnp.concatenate([top, pn1[1:-1, :], bot], axis=0)  # rows [-1, t+1)
-    pred_even = _predict_p_expr(pn1_ext, ue[1:-1, :], we[1:-1, :], dt, dx)  # rows [0, t)
+        # Pressure BC (fs/boundary_condition.py:41-65): halo h-1.
+        pbc = _pressure_bc_expr(cur, _sl(codee, hh - h))
+        pbc = _reclamp_rows(pbc, ti, n_t, h - 1)
 
-    even = jnp.logical_not(odd[1:-1, :])
-    fluid_c = fluid[1:-1, :]
-    pn1_c = pn1[1:-1, :]
-    pn = jnp.where(even & fluid_c, (1.0 - omega) * pn1_c + omega * pred_even, pn1_c)
+        # Odd sweep (fs/pressure_updater.py:98-102): reads BC'd current,
+        # writes onto the alternate-buffer base. Halo h-2.
+        pred_odd = _predict_p_expr(pbc, _sl(ue, hh - h), _sl(we, hh - h), dt, dx)
+        d = (hh - 2) - (h - 2)
+        alt_halo = (alt.shape[0] - t) // 2
+        pn1 = jnp.where(
+            _sl(odd_w, d) & _sl(fluid_w, d),
+            (1.0 - omega) * _sl(pbc, 1) + omega * pred_odd,
+            _sl(alt, alt_halo - (h - 2)),
+        )
+        pn1 = _reclamp_rows(pn1, ti, n_t, h - 2)
 
-    pn_ref[:] = pn
-    pc_ref[:] = pbc[2:-2, :]  # BC'd current, center rows → new alt buffer
+        # Even sweep (fs/pressure_updater.py:104-108): reads pn1 at ±1
+        # (true Gauss–Seidel coloring) and its own stale value via the
+        # relaxation term. Halo h-3.
+        pred_even = _predict_p_expr(pn1, _sl(ue, hh - h + 1), _sl(we, hh - h + 1), dt, dx)
+        pn = jnp.where(
+            _sl(jnp.logical_not(odd_w), d + 1) & _sl(fluid_w, d + 1),
+            (1.0 - omega) * _sl(pn1, 1) + omega * pred_even,
+            _sl(pn1, 1),
+        )
+        pn = _reclamp_rows(pn, ti, n_t, h - 3)
+
+        cur = pn  # halo h-3 = hh - 3(it+1): ready for the next iteration
+        alt = pbc  # the BC'd input becomes the next iteration's alt base
+
+    pn_ref[:] = cur  # halo 0: exactly the tile's t rows
+    pc_ref[:] = _sl(alt, (alt.shape[0] - t) // 2)  # BC'd input → new alt buffer
 
     if v_limit is not None:
         # Fold the velocity-norm limiter (fs/solver.py:38-43,89) into the
         # final SOR iteration: u/w center rows are already resident.
         vlim_ref = maybe_vlim_ref[0]
-        uc = ue[2:-2, :]
-        wc = we[2:-2, :]
+        uc = _sl(ue, hh - 1)
+        wc = _sl(we, hh - 1)
         norm = jnp.sqrt(uc * uc + wc * wc)
         over = norm > v_limit  # NaN norm compares false → unchanged
         vlim_ref[0] = jnp.where(over, v_limit * (uc / norm), uc)
@@ -539,23 +664,31 @@ def _sor_kernel(
 
 def sor_iteration_pallas(
     p_cur, p_alt, u, w, pbc_code, fluid8, omega: float, dt: float, dx: float,
-    *, v_limit: float | None = None, tile_x: int | None = None, interpret: bool = False,
+    *, n_iters: int = 1, v_limit: float | None = None, tile_x: int | None = None,
+    interpret: bool = False,
 ):
-    """One fused red-black SOR iteration (BC + odd + even sweeps).
+    """`n_iters` fused red-black SOR iterations (BC + odd + even sweeps
+    each) in ONE pallas_call — a single HBM pass over p/u/w.
 
     Returns the post-swap ``(p_cur, p_alt)`` pair, exactly matching
-    :func:`fluid2d_tpu.ops.pressure.sor_pressure_iteration`. With
-    `v_limit` set (the step's FINAL iteration), additionally returns the
-    norm-limited (2, X, Y) velocity as a third output — the u/w tiles
-    are already in VMEM, so the limiter costs only its writes.
+    `n_iters` chained :func:`fluid2d_tpu.ops.pressure.sor_pressure_iteration`
+    calls (``fs/pressure_updater.py:86-108`` run `n_iters` times). Each
+    fused iteration deepens the row halo by 3 (BC + odd + even), so
+    `n_iters` ≤ 2 keeps the halo within the 8-row neighbor side blocks.
+    With `v_limit` set (the step's FINAL iteration), additionally returns
+    the norm-limited (2, X, Y) velocity as a third output — the u/w
+    tiles are already in VMEM, so the limiter costs only its writes.
     """
+    if not 1 <= n_iters <= _HB // 3:
+        msg = f"n_iters={n_iters} exceeds the {_HB}-row halo blocks"
+        raise PallasInfeasibleError(msg)
     x_rows, y_cols = p_cur.shape
 
     def cost_rows(t: int) -> float:
         # 4 f32 halo triples + 2 i8 halo triples + 2-4 out blocks,
-        # plus ~24 live (t, Y) f32 stack temporaries.
+        # plus ~24 live (t, Y) f32 stack temporaries per fused iteration.
         blocks = 4 * (t + 2 * _HB) + 0.5 * (t + 2 * _HB) + (4 if v_limit else 2) * t
-        return 2 * blocks + 24 * t
+        return 2 * blocks + 24 * n_iters * t
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
@@ -572,8 +705,14 @@ def sor_iteration_pallas(
         + _halo_triple_specs(t, y_cols, n_t, None)
     )
     args = [p_cur] * 3 + [p_alt] * 3 + [u] * 3 + [w] * 3 + [pbc_code] * 3 + [fluid8] * 3
+    log_traffic(
+        f"sor_x{n_iters}",
+        4 * triple_bytes(x_rows, y_cols, t, None)
+        + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+        + (4 if v_limit is not None else 2) * center_bytes(x_rows, y_cols, None),
+    )
 
-    kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx, v_limit)
+    kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx, v_limit, n_iters)
     out_shape = [jax.ShapeDtypeStruct(p_cur.shape, p_cur.dtype)] * 2
     out_specs = [_center_spec(t, y_cols, None)] * 2
     if v_limit is not None:

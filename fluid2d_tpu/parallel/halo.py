@@ -31,7 +31,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fluid2d_tpu.config import SimConfig
 from fluid2d_tpu.scenes.compile import Scene
@@ -158,7 +158,7 @@ def make_sharded_run_halo(cfg: SimConfig, mesh: Mesh, h: int | None = None):
             mesh=mesh,
             in_specs=(state_specs, scene_specs),
             out_specs=state_specs,
-            check_rep=False,
+            check_vma=False,  # (jax.shard_map's rename of check_rep)
         )(state, scene_ext)
 
     return run

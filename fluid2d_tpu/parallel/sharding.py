@@ -54,25 +54,56 @@ def shard_pytree(tree, mesh: Mesh):
     return jax.tree.map(lambda leaf: shard_leaf(leaf, mesh), tree)
 
 
-def shard_simulator(sim, n_devices: int | None = None) -> Mesh:
+def shard_simulator(sim, n_devices: int | None = None, path: str = "auto") -> Mesh:
     """Shard a :class:`FluidSimulator`'s state and scene in place.
 
-    GSPMD auto-partitioning applies to plain XLA ops — a Pallas
-    custom-call on sharded arrays under plain jit has no SPMD
-    partitioning rule. So this path pins ``kernels="xla"`` (unless the
-    user forced pallas explicitly); for fused kernels under sharding use
-    the explicit ghost-window path
-    (:func:`fluid2d_tpu.parallel.halo.make_sharded_run_halo`), which runs
-    the kernels per-shard inside ``shard_map``.
+    Two routes:
+
+    * ``"halo"`` — the production path: explicit ghost-window
+      decomposition (:func:`fluid2d_tpu.parallel.halo.make_sharded_run_halo`),
+      ONE ppermute exchange per step, the fused Pallas phase kernels run
+      per-shard inside ``shard_map``.
+    * ``"gspmd"`` — XLA auto-partitioning of the plain-jnp step. A Pallas
+      custom-call on sharded arrays under plain jit has no SPMD
+      partitioning rule, so this route pins ``kernels="xla"`` (~3×
+      slower CIP steps on TPU).
+
+    ``"auto"`` picks halo whenever the grid splits into slabs wide enough
+    for the ghost depth, else falls back to gspmd. The chosen route is
+    printed (it changes the performance profile materially) and recorded
+    as ``sim.shard_path``.
     """
     import dataclasses
 
     from fluid2d_tpu.models.simulator import make_run_fn
 
     mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+
+    if path in ("auto", "halo"):
+        from fluid2d_tpu.parallel.halo import ghost_width, make_sharded_run_halo
+
+        h = ghost_width(sim.cfg)
+        x_rows = sim.state.p.shape[-2]
+        if x_rows % n_dev == 0 and x_rows // n_dev >= 2 * h:
+            sim._run = make_sharded_run_halo(sim.cfg, mesh)
+            sim.state = shard_pytree(sim.state, mesh)
+            sim.scene = shard_pytree(sim.scene, mesh)
+            sim.shard_path = "halo"
+            print(f"sharding: ghost-window halo path over {n_dev} devices "
+                  f"(ghost width {h}, fused kernels per-shard)")
+            return mesh
+        if path == "halo":
+            msg = (f"halo path needs X={x_rows} to split into ≥{2 * h}-row "
+                   f"slabs across {n_dev} devices")
+            raise ValueError(msg)
+        print(f"sharding: grid X={x_rows} too small for {2 * h}-row ghost slabs "
+              f"on {n_dev} devices; falling back to GSPMD (kernels=xla, slower)")
+
     if sim.cfg.kernels == "auto":
         sim.cfg = dataclasses.replace(sim.cfg, kernels="xla")
         sim._run = make_run_fn(sim.cfg)
     sim.state = shard_pytree(sim.state, mesh)
     sim.scene = shard_pytree(sim.scene, mesh)
+    sim.shard_path = "gspmd"
     return mesh

@@ -33,6 +33,20 @@ def fields_to_numpy(state: SimState) -> dict[str, np.ndarray]:
     return out
 
 
+def _is_orbax_dir(path: Path) -> bool:
+    """Route by suffix: ``.npz`` (case-insensitive) → single file;
+    no suffix → orbax directory tree; any other file-like suffix is
+    rejected loudly rather than silently becoming a directory."""
+    suffix = path.suffix.lower()
+    if suffix == ".npz":
+        return False
+    if suffix and not path.is_dir():
+        msg = (f"unrecognized checkpoint suffix {path.suffix!r} (use '.npz' for a "
+               f"single file or a suffix-less path for an orbax directory)")
+        raise ValueError(msg)
+    return True
+
+
 def save_checkpoint(path: str | Path, state: SimState, cfg: SimConfig,
                     scene_meta: dict | None = None) -> None:
     """Full-state checkpoint: every pytree leaf + the config and scene
@@ -43,8 +57,9 @@ def save_checkpoint(path: str | Path, state: SimState, cfg: SimConfig,
     without a host gather, the right backend for mesh-distributed runs.
     """
     path = Path(path)
+    orbax = _is_orbax_dir(path)  # validate the path before any work
     meta = {"config": dataclasses.asdict(cfg), "scene": scene_meta or {}}
-    if path.suffix != ".npz":
+    if orbax:
         _save_orbax(path, state, meta)
         return
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -60,7 +75,7 @@ def load_checkpoint(path: str | Path) -> tuple[SimState, SimConfig, dict]:
     import jax.numpy as jnp
 
     path = Path(path)
-    if path.suffix != ".npz":
+    if _is_orbax_dir(path):
         return _load_orbax(path)
     with np.load(path) as data:
         meta = json.loads(bytes(data["__config__"].tobytes()).decode())

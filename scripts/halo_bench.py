@@ -1,0 +1,124 @@
+"""Measure the halo path's per-shard overhead on ONE real chip.
+
+VERDICT r1 item #4: multi-chip hardware is unavailable here, but the
+ghost-window design's cost decomposes into pieces a single chip CAN
+measure:
+
+  T_multichip_step ≈ T_step(X_loc + 2h slab)  +  T_exchange
+
+* The first term — the full step on a ghost-EXTENDED slab (redundant
+  ghost-zone compute included) — is timed directly below, against the
+  plain X_loc slab for the overhead ratio.
+* The exchange is two ppermute shifts of 2h rows per state field per
+  step over ICI; its byte volume is computed exactly and converted to
+  time with the v5p ICI figure (~90 GB/s effective per link direction,
+  "How to Scale Your Model"-class numbers); it also overlaps with
+  nothing in the current schedule, so it is added in full (pessimistic).
+
+Usage: python scripts/halo_bench.py [--res 4096] [--devices 8] [--steps 30]
+Writes the projection JSON to stdout; BENCH.md records the derivation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+
+def slice_rows(tree, rows: int):
+    """First `rows` X-rows of every grid leaf (ndim ≥ 2)."""
+    return jax.tree.map(
+        lambda a: a[..., :rows, :] if getattr(a, "ndim", 0) >= 2 else a, tree
+    )
+
+
+def time_step_on(cfg, scene_slab, steps: int) -> float:
+    import jax.numpy as jnp
+
+    from fluid2d_tpu.models.simulator import step_fn_for
+    from fluid2d_tpu.state import init_state
+
+    step = step_fn_for(cfg)
+
+    @jax.jit
+    def run(state):
+        def body(st, _):
+            return step(st, scene_slab), None
+
+        out, _ = jax.lax.scan(body, state, None, length=steps)
+        return out
+
+    state = init_state(scene_slab, cfg)
+    state = jax.tree.map(
+        lambda a: a if a is None or a.ndim < 2 else a + jnp.float32(0), state
+    )
+    out = run(state)
+    float(np.asarray(out.v[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(state)
+    float(np.asarray(out.v[0, 0, 0]))
+    return (time.perf_counter() - t0) / steps
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--res", type=int, default=4096)
+    parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--ici-GBps", type=float, default=90.0,
+                        help="assumed effective ICI bandwidth per link direction")
+    args = parser.parse_args()
+
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.parallel.halo import ghost_width
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.state import SimState, init_state
+
+    cfg = SimConfig.create(resolution=args.res, re=1e6, scheme="cip",
+                           vor_eps=5.0, enable_dye=True)
+    h = ghost_width(cfg)
+    x_rows = 2 * args.res
+    x_loc = x_rows // args.devices
+    scene = get_scene(3, args.res)  # BASELINE config #5's obstacle sweep
+
+    t_plain = time_step_on(cfg, slice_rows(scene, x_loc), args.steps)
+    t_ext = time_step_on(cfg, slice_rows(scene, x_loc + 2 * h), args.steps)
+
+    # Exchange bytes: per step each device ppermutes 2h rows in each
+    # direction for every carried grid channel.
+    state = init_state(slice_rows(scene, x_loc), cfg)
+    channels = sum(
+        (1 if leaf.ndim == 2 else leaf.shape[0])
+        for name, leaf in zip(SimState._fields, state)
+        if leaf is not None and getattr(leaf, "ndim", 0) >= 2
+    )
+    exch_bytes = 2 * (2 * h) * args.res * 4 * channels  # both directions
+    t_comm = exch_bytes / (args.ici_GBps * 1e9)
+
+    t_proj = t_ext + t_comm
+    print(json.dumps({
+        "res": args.res,
+        "devices": args.devices,
+        "ghost_width": h,
+        "x_loc": x_loc,
+        "ms_per_step_plain_slab": round(t_plain * 1e3, 2),
+        "ms_per_step_ghost_slab": round(t_ext * 1e3, 2),
+        "ghost_compute_overhead_pct": round(100 * (t_ext / t_plain - 1), 1),
+        "state_channels_exchanged": channels,
+        "exchange_MB_per_step": round(exch_bytes / 2**20, 1),
+        "assumed_ici_GBps": args.ici_GBps,
+        "exchange_ms_per_step": round(t_comm * 1e3, 3),
+        "projected_steps_per_sec": round(1.0 / t_proj, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

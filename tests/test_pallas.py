@@ -96,6 +96,93 @@ def test_sor_iteration_pallas_matches_jnp(tile):
                                    atol=1e-5 * scale, rtol=0, err_msg=name)
 
 
+@pytest.mark.parametrize("n_total", [2, 3, 4])
+def test_sor_fused_pair_matches_chained(n_total):
+    """The fused 2-iterations-per-kernel SOR (halo depth 6) against
+    chained single-iteration kernels AND the jnp path. Tolerance, not
+    bit-equality: the three program structures fuse differently, so
+    XLA's FMA contraction rounds a few intermediates differently
+    (~1-ulp each; each variant is tile-size-invariant, verified while
+    building this)."""
+    from fluid2d_tpu.ops.pallas_stencil import sor_iteration_pallas
+    from fluid2d_tpu.ops.pressure import sor_pressure_iteration
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    bc, mask, dye = build_scene_arrays(2, 24)  # grid (48, 24)
+    scene = compile_scene(bc, mask, dye)
+    p, pa, u, w = _mk(*mask.shape), _mk(*mask.shape), _mk(*mask.shape), _mk(*mask.shape)
+    omega, dt, dx = 1.3, 0.05 / 24, 1 / 24
+    rest = (u, w, scene.pbc_code, scene.fluid8, omega, dt, dx)
+
+    chained = (p, pa)
+    jnp_pair = (p, pa)
+    for _ in range(n_total):
+        chained = sor_iteration_pallas(*chained, *rest, tile_x=8, interpret=True)
+        jnp_pair = sor_pressure_iteration(*jnp_pair, u, w, scene, omega, dt, dx)
+
+    fused = (p, pa)
+    n = n_total
+    while n > 0:
+        k = min(2, n)
+        fused = sor_iteration_pallas(*fused, *rest, n_iters=k, tile_x=8, interpret=True)
+        n -= k
+
+    for name, g, r in zip(("pn", "pc"), fused, chained):
+        scale = max(1.0, np.abs(np.asarray(r)).max())
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-5 * scale, rtol=0, err_msg=name)
+    for name, g, r in zip(("pn", "pc"), fused, jnp_pair):
+        scale = max(1.0, np.abs(np.asarray(r)).max())
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-5 * scale, rtol=0, err_msg=name + "/jnp")
+
+
+def test_sor_fused_vlimit_matches_separate():
+    """v_limit folded into the fused pair == the standalone limiter."""
+    from fluid2d_tpu.ops.limiters import limit_vector_norm
+    from fluid2d_tpu.ops.pallas_stencil import sor_iteration_pallas
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    bc, mask, dye = build_scene_arrays(1, 16)
+    scene = compile_scene(bc, mask, dye)
+    p, pa = _mk(*mask.shape), _mk(*mask.shape)
+    u = 3.0 * _mk(*mask.shape)
+    w = 3.0 * _mk(*mask.shape)
+    rest = (u, w, scene.pbc_code, scene.fluid8, 1.3, 1e-3, 1 / 16)
+
+    plain = sor_iteration_pallas(p, pa, *rest, n_iters=2, tile_x=8, interpret=True)
+    lim = sor_iteration_pallas(p, pa, *rest, n_iters=2, v_limit=1.0,
+                               tile_x=8, interpret=True)
+    assert jnp.array_equal(plain[0], lim[0]) and jnp.array_equal(plain[1], lim[1])
+    ref_v = limit_vector_norm(jnp.stack([u, w]), 1.0)
+    np.testing.assert_allclose(np.asarray(lim[2]), np.asarray(ref_v), atol=1e-6, rtol=0)
+
+
+def test_full_step_sor_fuse2_matches():
+    """cfg.sor_fuse=2 (fused pair kernel) over full steps vs the default
+    chained path."""
+    import dataclasses
+
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.models.simulator import make_run_fn
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.state import init_state
+
+    cfg1 = SimConfig.create(resolution=16, scheme="cip", vor_eps=None,
+                            enable_dye=True, kernels="pallas_interpret")
+    cfg2 = dataclasses.replace(cfg1, sor_fuse=2)
+    scene = get_scene(1, 16)
+    s1 = make_run_fn(cfg1)(init_state(scene, cfg1), scene, 3)
+    s2 = make_run_fn(cfg2)(init_state(scene, cfg2), scene, 3)
+    for name in ("v", "p", "dye", "p_alt"):
+        r = np.asarray(getattr(s1, name))
+        scale = max(1.0, np.abs(r).max())
+        np.testing.assert_allclose(np.asarray(getattr(s2, name)), r,
+                                   atol=1e-5 * scale, rtol=0, err_msg=name)
+
+
 def test_full_step_2d_tiled_matches_xla(monkeypatch):
     """The 2-D (row + lane) tiled phase kernels — used when the lane
     width exceeds the 1-D VMEM budget — against the XLA path. Forcing
