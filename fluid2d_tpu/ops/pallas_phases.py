@@ -80,16 +80,22 @@ def _reclamp(win, ti, n_t: int, a: int, b: int | None = None):
     """
     if b is None:
         b = a
+    if not (a or b):
+        return win
     n = win.shape[-2]
+    # Select on the halo SLABS only, then one concat — the win-sized
+    # where/concat formulation costs ~4 full-window VPU passes per call
+    # and reclamps run 8-17× per phase kernel (the kernels are
+    # VPU-bound, docs/BENCH.md).
+    parts = []
     if a:
         true_top = jnp.repeat(win[..., a : a + 1, :], a, axis=-2)
-        fixed = jnp.concatenate([true_top, win[..., a:, :]], axis=-2)
-        win = jnp.where(ti == 0, fixed, win)
+        parts.append(jnp.where(ti == 0, true_top, win[..., :a, :]))
+    parts.append(win[..., a : n - b, :])
     if b:
         true_bot = jnp.repeat(win[..., n - b - 1 : n - b, :], b, axis=-2)
-        fixed = jnp.concatenate([win[..., : n - b, :], true_bot], axis=-2)
-        win = jnp.where(ti == n_t - 1, fixed, win)
-    return win
+        parts.append(jnp.where(ti == n_t - 1, true_bot, win[..., n - b :, :]))
+    return jnp.concatenate(parts, axis=-2)
 
 
 def _velocity_bc_window(u_w, w_w, code, const_u, const_w):
@@ -385,7 +391,7 @@ def _cip_velocity_phase_2d(
     v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, *, interpret=False
 ):
     x_rows, y_cols = p.shape
-    tile = pick_tile2d(x_rows, y_cols, _cip_velocity_cost2d)
+    tile = pick_tile2d(x_rows, y_cols, _cip_velocity_cost2d, halo_x=5)
     if tile is None:
         msg = f"no valid 1-D or 2-D tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)

@@ -293,9 +293,21 @@ def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int):
     return full[..., hb - hx : hb + t + hx, :]
 
 
-def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 14 * 2**20):
+def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 15_900_000, halo_x: int = 3):
     """(t, ty) with t | x (mult of 8), ty | y (mult of 128), ≥2 tiles per
-    axis, minimizing grid count subject to the VMEM budget.
+    axis, minimizing **window-area amplification**
+    ``(t + 2·halo_x)(ty + 2·128) / (t·ty)`` subject to the VMEM budget.
+
+    The objective follows the round-2 measurements (docs/BENCH.md): the
+    phase kernels are VPU-bound, and their compute runs on the assembled
+    halo WINDOW — at res=4096 switching the dye kernel from the
+    grid-count-minimal (8, 1024) to the amp-minimal (16, 1024) measured
+    +15% end-to-end. The lane halo is weighted 2× its area (the window
+    assembly's `fix_y` passes over the halo bands twice), which matches
+    the measured ordering velocity (16,1024) > (32,512) > (8,2048).
+    The budget is calibrated against what Mosaic actually compiles on
+    v5 hardware (dye (16,1024) ≈ 15.1 MB estimated compiles; velocity
+    (16,2048) ≈ 21.4 MB does not).
 
     Candidate starts MUST be rounded down to the alignment unit —
     stepping by -8/-128 from an unrounded start would yield misaligned
@@ -310,10 +322,10 @@ def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 14 * 2**20):
     for ty in ty_opts:
         for t in t_opts:
             if cost_bytes(t, ty) <= budget:
-                n_grid = (x // t) * (y // ty)
-                if best is None or n_grid < best[0]:
-                    best = (n_grid, t, ty)
-                break  # t is descending: first fit is the largest for this ty
+                amp = (t + 2 * halo_x) * (ty + 4 * _HY) / (t * ty)
+                if best is None or amp < best[0]:
+                    best = (amp, t, ty)
+                break  # t is descending: first fit minimizes amp for this ty
     return (best[1], best[2]) if best else None
 
 

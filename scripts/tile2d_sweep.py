@@ -60,12 +60,10 @@ def main() -> None:
         finally:
             ph.pick_tile2d = real_pick
 
-    measure("auto (vel (8,2048), dye (8,1024))", None, None)
-    measure("dye (16,1024)", None, (16, 1024))
-    measure("dye (16,512) ", None, (16, 512))
-    measure("vel (16,2048)", (16, 2048), None)
-    measure("vel (16,1024)", (16, 1024), None)
-    measure("vel+dye 16s  ", (16, 1024), (16, 512))
+    measure("auto            ", None, None)
+    measure("vel(16,1024) dye auto", (16, 1024), None)
+    measure("vel auto dye(32,512) ", None, (32, 512))
+    measure("vel(16,1024) dye(16,1024)", (16, 1024), (16, 1024))
 
 
 if __name__ == "__main__":
