@@ -327,9 +327,13 @@ def cip_velocity_phase_pallas(
 
     def cost_rows(t: int) -> float:
         # 15 f32 halo channels (v 2, p 1, v_alt 2, grads+alts 8, const 2)
-        # + i8 codes/masks + 12 output channels + fluid, plus stack.
+        # + i8 codes/masks + 12 output channels + fluid, plus stack. The
+        # stack coefficient was recalibrated after the round-2 slab-form
+        # reclamps + hoisted velocity context shrank the live set:
+        # t=16 at Y=1600 compiles AND measures +7% end-to-end (157 vs
+        # 146 steps/s, docs/BENCH.md ledger).
         blocks = 15.5 * (t + 2 * _HB) + 12.25 * t
-        return 2 * blocks + 60 * t
+        return 2 * blocks + 55 * t
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
