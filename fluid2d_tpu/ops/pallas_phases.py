@@ -33,6 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from fluid2d_tpu.ops.pallas_stencil import (
     PallasInfeasibleError,
@@ -40,15 +41,19 @@ from fluid2d_tpu.ops.pallas_stencil import (
     _HY,
     _center2d_spec,
     _center_spec,
+    _center_spec_cgrid,
     _ext,
     _ext2d,
     _halo9_specs,
     _halo_triple_specs,
+    _halo_triple_specs_cgrid,
     _sy,
     _vmem_tile,
     center_bytes,
     cip_advect_window_expr,
     cip_velocity_ctx,
+    ctx_load,
+    ctx_store,
     log_traffic,
     nine_bytes,
     pick_tile2d,
@@ -436,54 +441,56 @@ def _cip_velocity_phase_2d(
 
 
 def _cip_dye_body(
-    ti, n_t: int, re: float, dt: float, dx: float, chans: int,
-    win, vele, inflowe, nwe, fluid,
+    ti, n_t: int, re: float, dt: float, dx: float,
+    win, vctx, inflowe, nwe, fluid,
     d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, cs,
+    oc: int = 0,
 ):
-    """Shared dye-phase compute. `win(key, c, hx)` yields the per-channel
-    row window for input `key`; `cs` slices output columns."""
+    """ONE dye channel's compute. In the 1-D kernel the channel index
+    lives on the grid's minor dimension (see :func:`cip_dye_phase_pallas`)
+    and outputs are (1, t, Y) blocks (``oc=0``); the 2-D kernel loops
+    channels in-kernel and passes ``oc=c``. `win(key, hx)` yields this
+    channel's row window for input `key`; `vctx` is the shared
+    carrying-velocity context; `cs` slices output columns."""
     nw_mid = nwe != 0
     nw_in = nw_mid[1:-1]
-    # Carrying-velocity context shared by all three dye channels.
-    vctx = cip_velocity_ctx(vele[0], vele[1], dt, dx)
 
-    for c in range(chans):
-        de = win("d", c, 3)  # rows [-3, t+3)
-        bcde = win("bcd", c, 3)
-        dae = win("da", c, 2)
-        dxe = win("dx", c, 1)
-        dxae = win("dxa", c, 1)
-        dye_ = win("dy", c, 1)
-        dyae = win("dya", c, 1)
+    de = win("d", 3)  # rows [-3, t+3)
+    bcde = win("bcd", 3)
+    dae = win("da", 2)
+    dxe = win("dx", 1)
+    dxae = win("dxa", 1)
+    dye_ = win("dy", 1)
+    dyae = win("dya", 1)
 
-        # 1. Dye BC (inflow colors) on rows [-3, t+3), re-clamped.
-        dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, 3)
+    # 1. Dye BC (inflow colors) on rows [-3, t+3), re-clamped.
+    dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, 3)
 
-        # 2. Diffusion-only non-advection phase on rows [-2, t+2):
-        #    dn = dc + (∇²dc/Re)·dt at not-wall (fs/solver.py:378-383).
-        d_na = jnp.where(nw_mid, dc[1:-1] + (_lap_window(dc, dx) / re) * dt, dae)
-        d_na = _reclamp(d_na, ti, n_t, 2)
+    # 2. Diffusion-only non-advection phase on rows [-2, t+2):
+    #    dn = dc + (∇²dc/Re)·dt at not-wall (fs/solver.py:378-383).
+    d_na = jnp.where(nw_mid, dc[1:-1] + (_lap_window(dc, dx) / re) * dt, dae)
+    d_na = _reclamp(d_na, ti, n_t, 2)
 
-        # 3. Gradient update on rows [-1, t+1).
-        delta = d_na - dc[1:-1]
-        gx_na = _reclamp(
-            jnp.where(nw_in, _grad_update_window(dxe, delta, "x", dx), dxae), ti, n_t, 1
-        )
-        gy_na = _reclamp(
-            jnp.where(nw_in, _grad_update_window(dye_, delta, "y", dx), dyae), ti, n_t, 1
-        )
+    # 3. Gradient update on rows [-1, t+1).
+    delta = d_na - dc[1:-1]
+    gx_na = _reclamp(
+        jnp.where(nw_in, _grad_update_window(dxe, delta, "x", dx), dxae), ti, n_t, 1
+    )
+    gy_na = _reclamp(
+        jnp.where(nw_in, _grad_update_window(dye_, delta, "y", dx), dyae), ti, n_t, 1
+    )
 
-        # 4. CIP advection by the (post-limit) velocity; then the global
-        #    [0,1] clamp on the current buffer (fs/solver.py:366-373).
-        fn, fxn, fyn = cip_advect_window_expr(
-            d_na[1:-1], gx_na, gy_na, vele[0], vele[1], dt, dx, ctx=vctx
-        )
-        d_out[c] = clamp_field(jnp.where(fluid, cs(fn), cs(dc[3:-3])), 0.0, 1.0)
-        dx_out[c] = jnp.where(fluid, cs(fxn), cs(dxe[1:-1]))
-        dy_out[c] = jnp.where(fluid, cs(fyn), cs(dye_[1:-1]))
-        dna_out[c] = cs(d_na[2:-2])
-        dxna_out[c] = cs(gx_na[1:-1])
-        dyna_out[c] = cs(gy_na[1:-1])
+    # 4. CIP advection by the (post-limit) velocity; then the global
+    #    [0,1] clamp on the current buffer (fs/solver.py:366-373).
+    fn, fxn, fyn = cip_advect_window_expr(
+        d_na[1:-1], gx_na, gy_na, None, None, dt, dx, ctx=vctx
+    )
+    d_out[oc] = clamp_field(jnp.where(fluid, cs(fn), cs(dc[3:-3])), 0.0, 1.0)
+    dx_out[oc] = jnp.where(fluid, cs(fxn), cs(dxe[1:-1]))
+    dy_out[oc] = jnp.where(fluid, cs(fyn), cs(dye_[1:-1]))
+    dna_out[oc] = cs(d_na[2:-2])
+    dxna_out[oc] = cs(gx_na[1:-1])
+    dyna_out[oc] = cs(gy_na[1:-1])
 
 
 def _cip_dye_kernel(
@@ -494,9 +501,20 @@ def _cip_dye_kernel(
     vel_c, vel_p8, vel_n8, bcd_c, bcd_p8, bcd_n8,
     inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
     d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
+    ctx_ref,
 ):
     ti = pl.program_id(0)
-    chans = d_c.shape[0]
+    c = pl.program_id(1)
+
+    # The carrying-velocity context is channel-independent: compute it
+    # once per row tile (the c-minor grid visits c=0 first) and spill to
+    # VMEM scratch; channels 1.. re-read it instead of re-deriving.
+    @pl.when(c == 0)
+    def _():
+        vele = _ext(vel_c[:], vel_p8[:], vel_n8[:], ti, n_t, 1)
+        ctx_store(ctx_ref, vele[0], vele[1], dt, dx)
+
+    vctx = ctx_load(ctx_ref)
 
     triples = {
         "d": (d_c, d_p8, d_n8),
@@ -508,16 +526,15 @@ def _cip_dye_kernel(
         "bcd": (bcd_c, bcd_p8, bcd_n8),
     }
 
-    def win(key, c, hx):
+    def win(key, hx):
         a, b, d = triples[key]
-        return _ext(a[c], b[c], d[c], ti, n_t, hx)
+        return _ext(a[0], b[0], d[0], ti, n_t, hx)
 
-    vele = _ext(vel_c[:], vel_p8[:], vel_n8[:], ti, n_t, 1)
     inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
     nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
     fluid = fluid_ref[:] != 0
 
-    _cip_dye_body(ti, n_t, re, dt, dx, chans, win, vele, inflowe, nwe, fluid,
+    _cip_dye_body(ti, n_t, re, dt, dx, win, vctx, inflowe, nwe, fluid,
                   d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, lambda a: a)
 
 
@@ -525,6 +542,10 @@ def _cip_dye_kernel_2d(
     n_tx: int, n_ty: int, ty: int, chans: int, re: float, dt: float, dx: float,
     *refs,
 ):
+    # Channel-FOLDED (unlike the 1-D kernel's channel grid): under 2-D
+    # tiling, per-program mask/velocity window assembly is the dominant
+    # fixed cost, and a (…, chans) grid would repeat it per channel —
+    # measured 15% slower end-to-end at res=4096.
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     it = iter(refs)
@@ -536,19 +557,21 @@ def _cip_dye_kernel_2d(
     inflow9 = [a.astype(jnp.int32) for a in nine()]
     nw9 = [a.astype(jnp.int32) for a in nine()]
     fluid_ref = next(it)
-    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out = (next(it) for _ in range(6))
-
-    def win(key, c, hx):
-        return _ext2d([v[c] for v in vals[key]], ti, tj, n_tx, n_ty, hx)
+    outs = tuple(next(it) for _ in range(6))
 
     vele = _ext2d(vel9, ti, tj, n_tx, n_ty, 1)
+    vctx = cip_velocity_ctx(vele[0], vele[1], dt, dx)
     inflowe = _ext2d(inflow9, ti, tj, n_tx, n_ty, 3)
     nwe = _ext2d(nw9, ti, tj, n_tx, n_ty, 2)
     fluid = fluid_ref[:] != 0
 
     cs = lambda a: a[..., :, _HY : _HY + ty]
-    _cip_dye_body(ti, n_tx, re, dt, dx, chans, win, vele, inflowe, nwe, fluid,
-                  d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, cs)
+    for c in range(chans):
+        win = lambda key, hx, c=c: _ext2d(  # noqa: E731
+            [v[c] for v in vals[key]], ti, tj, n_tx, n_ty, hx
+        )
+        _cip_dye_body(ti, n_tx, re, dt, dx, win, vctx, inflowe, nwe, fluid,
+                      *outs, cs, oc=c)
 
 
 def cip_dye_phase_pallas(
@@ -560,13 +583,24 @@ def cip_dye_phase_pallas(
 
     Returns ``(dye_cur, dyex_cur, dyey_cur, d_na, dx_na, dy_na)``. Row
     tiling when the lane width fits VMEM, 2-D tiling otherwise.
+
+    The grid is ``(n_t, chans)`` with the channel minor: per-channel
+    work is independent, so each program holds ONE channel's blocks
+    (3× smaller VMEM footprint → t=16 instead of t=8 at Y=1600, −21%
+    window amplification on the VPU-bound dye algebra), while the
+    channel-independent inputs (velocity, masks) keep constant block
+    indices across the c-minor steps — Pallas skips their re-fetch —
+    and the carrying-velocity context is computed once per row tile
+    into VMEM scratch (:func:`fluid2d_tpu.ops.pallas_stencil.ctx_store`).
     """
     chans, x_rows, y_cols = dye.shape
 
     def cost_rows(t: int) -> float:
-        blocks = (6 * chans + 2 + chans) * (t + 2 * _HB) + 0.5 * (t + 2 * _HB)
-        blocks += 6 * chans * t + 0.25 * t
-        return 2 * blocks + 60 * t
+        # Per-program: 7 one-channel f32 halo triples + the 2-channel
+        # velocity triple + ~2 i8 triples; 6 one-channel out blocks +
+        # fluid; the 10-row ctx scratch (single-buffered) + stack.
+        blocks = 9 * (t + 2 * _HB) + 0.6 * (t + 2 * _HB) + 6 * t + 0.25 * t
+        return 2 * blocks + 10 * t + 60 * t
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
@@ -576,16 +610,20 @@ def cip_dye_phase_pallas(
         )
     n_t = x_rows // t
 
-    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+    h2 = lambda lead: _halo_triple_specs_cgrid(t, y_cols, n_t, lead)  # noqa: E731
     specs = (
-        h2(chans) + h2(chans) + h2(chans) + h2(chans) + h2(chans) + h2(chans)
-        + h2(2) + h2(chans) + h2(None) + h2(None) + [_center_spec(t, y_cols, None)]
+        h2("c") + h2("c") + h2("c") + h2("c") + h2("c") + h2("c")
+        + h2(2) + h2("c") + h2(None) + h2(None) + [_center_spec_cgrid(t, y_cols, None)]
     )
     args = (
         [dye] * 3 + [dye_alt] * 3 + [dyex] * 3 + [dyex_alt] * 3 + [dyey] * 3 + [dyey_alt] * 3
         + [vel] * 3 + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.not_wall8] * 3
         + [scene.fluid8]
     )
+    # Same DMA totals as a channel-folded kernel: per-channel inputs
+    # stream once per (tile, channel) pair = once over the array; the
+    # channel-independent blocks are fetched once per tile (constant
+    # index maps across the minor c steps → no re-fetch).
     log_traffic(
         "cip_dye",
         (6 * chans + 2 + chans) * triple_bytes(x_rows, y_cols, t, None)
@@ -599,10 +637,11 @@ def cip_dye_phase_pallas(
 
     return pl.pallas_call(
         kernel,
-        grid=(n_t,),
+        grid=(n_t, chans),
         in_specs=specs,
-        out_specs=[_center_spec(t, y_cols, chans)] * 6,
+        out_specs=[_center_spec_cgrid(t, y_cols, "c")] * 6,
         out_shape=[out_sd] * 6,
+        scratch_shapes=[pltpu.VMEM((10, t, y_cols), jnp.float32)],
         interpret=interpret,
     )(*args)
 

@@ -198,6 +198,48 @@ def _center_spec(t: int, y: int, lead: int | None):
     return pl.BlockSpec((lead, t, y), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
 
+# --- channel-grid specs (grid = (n_t, chans)) ---------------------------------
+#
+# For kernels whose per-channel work is independent (the CIP dye phase),
+# putting the channel on a trailing grid dimension shrinks each
+# program's VMEM footprint by the channel count — enabling larger row
+# tiles — while channel-independent inputs keep constant block indices
+# across the c-minor iterations, so Pallas's pipeline skips their
+# re-fetch. `lead` semantics: "c" → leading axis indexed by the channel
+# grid dim; None / int → as in _halo_triple_specs (shared across c).
+
+
+def _halo_triple_specs_cgrid(t: int, y: int, n_t: int, lead):
+    tb = t // _HB
+
+    def mk(rows: int, rmap):
+        if lead == "c":
+            return pl.BlockSpec(
+                (1, rows, y), lambda i, c, r=rmap: (c, r(i), 0), memory_space=pltpu.VMEM
+            )
+        if lead is None:
+            return pl.BlockSpec(
+                (rows, y), lambda i, c, r=rmap: (r(i), 0), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec(
+            (lead, rows, y), lambda i, c, r=rmap: (0, r(i), 0), memory_space=pltpu.VMEM
+        )
+
+    return [
+        mk(t, lambda i: i),
+        mk(_HB, lambda i: jnp.maximum(i * tb - 1, 0)),
+        mk(_HB, lambda i: jnp.minimum(i * tb + tb, n_t * tb - 1)),
+    ]
+
+
+def _center_spec_cgrid(t: int, y: int, lead):
+    if lead == "c":
+        return pl.BlockSpec((1, t, y), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM)
+    if lead is None:
+        return pl.BlockSpec((t, y), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((lead, t, y), lambda i, c: (0, i, 0), memory_space=pltpu.VMEM)
+
+
 # --- 2-D (row + lane) tiling -------------------------------------------------
 #
 # For lane widths where (t, Y) row-tiles no longer fit VMEM, the grid is
@@ -263,23 +305,25 @@ def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int):
     cat_y = lambda parts: jnp.concatenate(parts, axis=-1)  # noqa: E731
     cat_x = lambda parts: jnp.concatenate(parts, axis=-2)  # noqa: E731
 
-    def fix_y(band):
-        left = jnp.where(
-            tj == 0, jnp.repeat(band[..., :, _HY : _HY + 1], _HY, axis=-1), band[..., :, :_HY]
-        )
-        right = jnp.where(
-            tj == n_ty - 1,
-            jnp.repeat(band[..., :, -_HY - 1 : -_HY], _HY, axis=-1),
-            band[..., :, -_HY:],
-        )
-        return cat_y([left, band[..., :, _HY:-_HY], right])
+    # Global-column clamp applied to the 128-wide SIDE/CORNER blocks
+    # before the band concat (the replacement column is the center
+    # block's own edge column) — a second full-width pass over each
+    # assembled band costs ~1 VPU pass per input on these VPU-bound
+    # kernels (docs/BENCH.md).
+    def fixl(side, center):
+        rep = jnp.repeat(center[..., :, :1], _HY, axis=-1)
+        return jnp.where(tj == 0, rep, side)
+
+    def fixr(side, center):
+        rep = jnp.repeat(center[..., :, -1:], _HY, axis=-1)
+        return jnp.where(tj == n_ty - 1, rep, side)
 
     # Lane-dim concats need operands with matching sublane offsets
     # (Mosaic: "offset mismatch on non-concat dimension"), so assemble
     # full 8-row bands and do the row-halo slice once at the end.
-    mid = fix_y(cat_y([ym, cur, yp]))
-    top8 = fix_y(cat_y([cmm, xm, cmp_]))
-    bot8 = fix_y(cat_y([cpm, xp, cpp]))
+    mid = cat_y([fixl(ym, cur), cur, fixr(yp, cur)])
+    top8 = cat_y([fixl(cmm, xm), xm, fixr(cmp_, xm)])
+    bot8 = cat_y([fixl(cpm, xp), xp, fixr(cpp, xp)])
 
     top8 = jnp.where(
         ti == 0, jnp.repeat(mid[..., :1, :], top8.shape[-2], axis=-2), top8
@@ -358,6 +402,32 @@ def cip_velocity_ctx(u_w, w_w, dt: float, dx: float) -> dict:
         "dudy": 0.5 * (_sy(u, 1) - _sy(u, -1)) / dx,
         "dwdy": 0.5 * (_sy(w, 1) - _sy(w, -1)) / dx,
     }
+
+
+_CTX_KEYS = (
+    "i_s", "j_s", "i_s_denom", "j_s_denom", "X", "Y", "dudx", "dwdx", "dudy", "dwdy",
+)
+
+
+def ctx_store(ctx_ref, u_w, w_w, dt: float, dx: float) -> None:
+    """Compute :func:`cip_velocity_ctx` and spill its f32 entries to a
+    ``(10, rows, cols)`` VMEM scratch ref (the bool upwind masks are
+    derivable from the sign arrays, see :func:`ctx_load`). Used by
+    channel-grid kernels: the context is written once per tile (at
+    channel 0) and re-read by the remaining channels."""
+    full = cip_velocity_ctx(u_w, w_w, dt, dx)
+    for k, key in enumerate(_CTX_KEYS):
+        ctx_ref[k] = full[key]
+
+
+def ctx_load(ctx_ref) -> dict:
+    """Rebuild the context dict from a :func:`ctx_store` scratch ref.
+    ``up_x = i_s >= 0`` exactly reproduces ``not (u < 0)`` (i_s is ±1,
+    and NaN u yields i_s = +1 → up_x true, the fmin/fmax NaN policy)."""
+    vals = {key: ctx_ref[k] for k, key in enumerate(_CTX_KEYS)}
+    vals["up_x"] = vals["i_s"] >= 0.0
+    vals["up_y"] = vals["j_s"] >= 0.0
+    return vals
 
 
 def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
