@@ -71,9 +71,12 @@ def main() -> None:
             print(f"# {k}: {v:.2f}", file=sys.stderr)
 
     if args.all:
-        for res in (400, 800, 1600):
+        # Step counts sized so each timed run is ≥ ~1 s: the tunnel's
+        # ~30 ms per-invocation latency floor corrupts short runs (a
+        # 50-step res=400 run reads 4× slower than the true rate).
+        for res, steps in ((400, 2000), (800, 1000), (1600, 400)):
             for scheme in ("upwind", "kk", "cip"):
-                rate, _ = bench_config(res, scheme, max(50, args.steps // 4))
+                rate, _ = bench_config(res, scheme, steps)
                 print(f"# res={res:5d} scheme={scheme:6s}: {rate:9.1f} steps/s", file=sys.stderr)
 
     rate, state = bench_config(args.res, args.scheme, args.steps)

@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Log steps/sec and field diagnostics every N steps")
     parser.add_argument("--shard", type=int, default=0,
                         help="Shard the grid over N devices (0 = single device)")
+    parser.add_argument("--shard-mesh", type=str, default="",
+                        help="2-D decomposition: NXxNY device mesh (e.g. 4x2); "
+                             "GSPMD route only, overrides --shard")
     parser.add_argument("--mask-image", type=str, default="",
                         help="Obstacle silhouette: a grayscale image path or a "
                              "bundled asset name (dragon, rabbit, aircraft); "
@@ -179,7 +182,15 @@ def main(argv: list[str] | None = None) -> None:
                         "mask_image": args.mask_image or None},
         )
 
-    if args.shard:
+    if args.shard_mesh:
+        from fluid2d_tpu.parallel.sharding import shard_simulator
+
+        try:
+            nx, ny = (int(v) for v in args.shard_mesh.lower().split("x"))
+        except ValueError:
+            parser.error("--shard-mesh expects NXxNY, e.g. 4x2")
+        shard_simulator(sim, mesh_shape=(nx, ny))
+    elif args.shard:
         from fluid2d_tpu.parallel.sharding import shard_simulator
 
         shard_simulator(sim, args.shard)

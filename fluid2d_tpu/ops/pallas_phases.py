@@ -45,6 +45,7 @@ from fluid2d_tpu.ops.pallas_stencil import (
     _ext,
     _ext2d,
     _halo9_specs,
+    _LH2,
     _halo_triple_specs,
     _halo_triple_specs_cgrid,
     _sy,
@@ -308,7 +309,7 @@ def _cip_velocity_kernel_2d(
     nwe = e2i(nw9, 2)
     fluid = fluid_ref[:] != 0
 
-    cs = lambda a: a[..., :, _HY : _HY + ty]
+    cs = lambda a: a[..., :, _LH2 : _LH2 + ty]
     _cip_velocity_body(
         ti, n_tx, re, dt, dx,
         ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
@@ -565,7 +566,7 @@ def _cip_dye_kernel_2d(
     nwe = _ext2d(nw9, ti, tj, n_tx, n_ty, 2)
     fluid = fluid_ref[:] != 0
 
-    cs = lambda a: a[..., :, _HY : _HY + ty]
+    cs = lambda a: a[..., :, _LH2 : _LH2 + ty]
     for c in range(chans):
         win = lambda key, hx, c=c: _ext2d(  # noqa: E731
             [v[c] for v in vals[key]], ti, tj, n_tx, n_ty, hx

@@ -298,25 +298,37 @@ def _halo9_specs(t: int, ty: int, n_tx: int, n_ty: int, lead: int | None):
     ]
 
 
-def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int):
-    """(…, t+2hx, ty+2·128) window from a 9-block fetch (as arrays), with
-    raw clamp-to-edge replication at the global row/column ends."""
+_LH2 = _HY  # lane-halo width the 2-D kernels keep of each fetched
+# 128-col side block. The deepest column stencil in any cascade is only
+# 5, so narrower halos were measured (res=4096 CIP, full step): lh=8
+# (ragged 1040-lane windows) 12.8 steps/s, lh=64 (tile-aligned 1152)
+# 12.8, lh=128 18.2 — ANY sub-128 slice of the side blocks forces lane
+# rotations/relayouts during window assembly that swamp the ~10%
+# fewer-lanes win. Keep the full, alignment-preserving halo.
+
+
+def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int, lh: int = _LH2):
+    """(…, t+2hx, ty+2·lh) window from a 9-block fetch (as arrays), with
+    raw clamp-to-edge replication at the global row/column ends. `lh` is
+    the lane-halo width kept from the fetched 128-column side blocks."""
     cur, xm, xp, ym, yp, cmm, cmp_, cpm, cpp = vals9
     cat_y = lambda parts: jnp.concatenate(parts, axis=-1)  # noqa: E731
     cat_x = lambda parts: jnp.concatenate(parts, axis=-2)  # noqa: E731
 
-    # Global-column clamp applied to the 128-wide SIDE/CORNER blocks
+    # Global-column clamp applied to the lh-wide SIDE/CORNER slices
     # before the band concat (the replacement column is the center
     # block's own edge column) — a second full-width pass over each
     # assembled band costs ~1 VPU pass per input on these VPU-bound
     # kernels (docs/BENCH.md).
     def fixl(side, center):
-        rep = jnp.repeat(center[..., :, :1], _HY, axis=-1)
-        return jnp.where(tj == 0, rep, side)
+        s = side[..., :, _HY - lh :] if lh < _HY else side
+        rep = jnp.repeat(center[..., :, :1], lh, axis=-1)
+        return jnp.where(tj == 0, rep, s)
 
     def fixr(side, center):
-        rep = jnp.repeat(center[..., :, -1:], _HY, axis=-1)
-        return jnp.where(tj == n_ty - 1, rep, side)
+        s = side[..., :, :lh] if lh < _HY else side
+        rep = jnp.repeat(center[..., :, -1:], lh, axis=-1)
+        return jnp.where(tj == n_ty - 1, rep, s)
 
     # Lane-dim concats need operands with matching sublane offsets
     # (Mosaic: "offset mismatch on non-concat dimension"), so assemble

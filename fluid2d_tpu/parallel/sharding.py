@@ -22,12 +22,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "shard_leaf", "shard_pytree", "shard_simulator"]
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the first `n_devices` (default: all). Raises if
-    fewer devices exist than requested — a silently smaller mesh makes
+def make_mesh(n_devices: int | None = None, devices=None,
+              shape: tuple[int, int] | None = None) -> Mesh:
+    """Device mesh for spatial decomposition. Default: 1-D over the
+    first `n_devices` (grid sharded along X). With ``shape=(nx, ny)``:
+    a 2-D ``("x", "y")`` mesh for two-axis decomposition (GSPMD route) —
+    the right layout when X/nx slabs would get thinner than the stencil
+    ghost depth before the chip count is exhausted. Raises if fewer
+    devices exist than requested — a silently smaller mesh makes
     'sharded == single-device' checks vacuously pass."""
     if devices is None:
         devices = jax.devices()
+    if shape is not None:
+        nx, ny = shape
+        if len(devices) < nx * ny:
+            msg = f"requested {nx}x{ny} mesh, only {len(devices)} devices available"
+            raise ValueError(msg)
+        return Mesh(np.array(devices[: nx * ny]).reshape(nx, ny), axis_names=("x", "y"))
     if n_devices is not None:
         if len(devices) < n_devices:
             msg = f"requested {n_devices} devices, only {len(devices)} available"
@@ -37,12 +48,16 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def _spec_for(leaf, mesh: Mesh) -> P:
-    """Shard the X axis (second-to-last) of grid arrays; replicate scalars."""
+    """Shard the X axis (second-to-last) of grid arrays over mesh axis
+    "x" — and the lane axis over "y" when the mesh has one; replicate
+    scalars and indivisible leaves."""
     if getattr(leaf, "ndim", 0) < 2:
         return P()
-    if leaf.shape[-2] % mesh.devices.size != 0:
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if leaf.shape[-2] % sizes["x"] != 0:
         return P()  # uneven grids stay replicated (not used by any scene size)
-    return P(*([None] * (leaf.ndim - 2)), "x", None)
+    y_ax = "y" if "y" in sizes and leaf.shape[-1] % sizes["y"] == 0 else None
+    return P(*([None] * (leaf.ndim - 2)), "x", y_ax)
 
 
 def shard_leaf(leaf, mesh: Mesh):
@@ -54,7 +69,8 @@ def shard_pytree(tree, mesh: Mesh):
     return jax.tree.map(lambda leaf: shard_leaf(leaf, mesh), tree)
 
 
-def shard_simulator(sim, n_devices: int | None = None, path: str = "auto") -> Mesh:
+def shard_simulator(sim, n_devices: int | None = None, path: str = "auto",
+                    mesh_shape: tuple[int, int] | None = None) -> Mesh:
     """Shard a :class:`FluidSimulator`'s state and scene in place.
 
     Two routes:
@@ -69,15 +85,24 @@ def shard_simulator(sim, n_devices: int | None = None, path: str = "auto") -> Me
       slower CIP steps on TPU).
 
     ``"auto"`` picks halo whenever the grid splits into slabs wide enough
-    for the ghost depth, else falls back to gspmd. The chosen route is
-    printed (it changes the performance profile materially) and recorded
-    as ``sim.shard_path``.
+    for the ghost depth, else falls back to gspmd. With
+    ``mesh_shape=(nx, ny)`` the grid is decomposed over BOTH axes on a
+    2-D mesh (GSPMD route only — the explicit ghost-window path is 1-D).
+    The chosen route is printed (it changes the performance profile
+    materially) and recorded as ``sim.shard_path``.
     """
     import dataclasses
 
     from fluid2d_tpu.models.simulator import make_run_fn
 
-    mesh = make_mesh(n_devices)
+    if mesh_shape is not None:
+        if path == "halo":
+            msg = "the ghost-window halo path decomposes X only; use a 1-D mesh"
+            raise ValueError(msg)
+        mesh = make_mesh(shape=mesh_shape)
+        path = "gspmd"
+    else:
+        mesh = make_mesh(n_devices)
     n_dev = mesh.devices.size
 
     if path in ("auto", "halo"):
@@ -106,4 +131,5 @@ def shard_simulator(sim, n_devices: int | None = None, path: str = "auto") -> Me
     sim.state = shard_pytree(sim.state, mesh)
     sim.scene = shard_pytree(sim.scene, mesh)
     sim.shard_path = "gspmd"
+    print(f"sharding: GSPMD auto-partitioning over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))} (kernels=xla)")
     return mesh

@@ -61,9 +61,9 @@ def main() -> None:
             ph.pick_tile2d = real_pick
 
     measure("auto            ", None, None)
-    measure("vel(16,1024) dye auto", (16, 1024), None)
+    measure("vel(32,512) dye auto ", (32, 512), None)
     measure("vel auto dye(32,512) ", None, (32, 512))
-    measure("vel(16,1024) dye(16,1024)", (16, 1024), (16, 1024))
+    measure("vel(32,512) dye(32,512)", (32, 512), (32, 512))
 
 
 if __name__ == "__main__":

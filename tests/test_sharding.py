@@ -46,6 +46,38 @@ def test_sharded_matches_single_device(scheme):
         np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0, err_msg=name)
 
 
+def test_sharded_2d_mesh_matches_single_device():
+    """Two-axis (4×2 mesh) GSPMD decomposition ≡ single device: XLA
+    derives halo exchange on BOTH grid axes from the shifted-slice
+    reads. The layout for chip counts where 1-D X slabs would get
+    thinner than the stencil ghost depth."""
+    res = 32
+    cfg = SimConfig.create(resolution=res, re=1000.0, scheme="cip",
+                           vor_eps=5.0, enable_dye=True)
+    _, mask, _ = build_scene_arrays(2, res)
+    scene = get_scene(2, res)
+    fields = _random_fields(mask, True, True, seed=12)
+    state = _seed_state(init_state(scene, cfg), fields)
+    run = make_run_fn(cfg)
+
+    ref = run(state, scene, 8)
+
+    mesh = make_mesh(shape=(4, 2))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"x": 4, "y": 2}
+    state_s = shard_pytree(_seed_state(init_state(scene, cfg), fields), mesh)
+    scene_s = shard_pytree(scene, mesh)
+    # Grid (64, 32): both axes divisible → leaves are sharded on both.
+    assert "y" in str(state_s.v.sharding.spec)
+    got = run(state_s, scene_s, 8)
+
+    for name, a, b in zip(ref._fields, ref, got):
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0, err_msg=name)
+
+
 @pytest.mark.parametrize("scheme", ["cip", "kk"])
 def test_halo_exchange_run_matches_single_device(scheme):
     """Explicit shard_map + ppermute ghost-window path (parallel/halo.py)
