@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--interactive", action="store_true",
                         help="Open an interactive window (needs a display); "
                              "keys: p pause, v cycle vis, s screenshot, d dump, q quit")
+    parser.add_argument("--compile-cache", type=str, default="auto",
+                        help="Persistent XLA compilation cache directory "
+                             "('auto' → ~/.cache/fluid2d_tpu/xla; 'off' disables). "
+                             "Amortizes the 20-40 s first compile across runs")
     return parser
 
 
@@ -105,6 +109,22 @@ def main(argv: list[str] | None = None) -> None:
         # accelerator backends; setting the config directly always wins as
         # long as no backend has been touched yet.
         jax.config.update("jax_platforms", "cpu")
+
+    if args.compile_cache != "off":
+        import os
+
+        import jax
+
+        cache_dir = args.compile_cache
+        if cache_dir == "auto":
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "fluid2d_tpu", "xla"
+            )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+            pass
 
     import numpy as np  # deferred: after backend env is settled
 

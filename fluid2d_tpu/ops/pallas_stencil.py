@@ -483,13 +483,18 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
     i_s_denom = ctx["i_s_denom"]
     j_s_denom = ctx["j_s_denom"]
 
-    a = (i_s * (fx_im + fx) * dx - 2.0 * (-tmp2)) / i_s_denom
-    bb = (j_s * (fy_jm + fy) * dx - 2.0 * (-tmp3)) / j_s_denom
-    cc = (-tmp1 - i_s * (fx_jm - fx) * dx) / j_s_denom
-    dd = (-tmp1 - j_s * (fy_im - fy) * dx) / i_s_denom
+    # Mosaic has no CSE/strength-reduction pass over the traced body, so
+    # IEEE-exact identities are folded by hand: x − 2·(−t) ≡ x + 2·t,
+    # −(a−b) ≡ b−a, and −tmp1 is negated once (each saves one VPU pass
+    # per channel; fs/solver.py:307-313 is the reference algebra).
+    ntmp1 = -tmp1
+    a = (i_s * (fx_im + fx) * dx + 2.0 * tmp2) / i_s_denom
+    bb = (j_s * (fy_jm + fy) * dx + 2.0 * tmp3) / j_s_denom
+    cc = (ntmp1 - i_s * (fx_jm - fx) * dx) / j_s_denom
+    dd = (ntmp1 - j_s * (fy_im - fy) * dx) / i_s_denom
     ee = (3.0 * tmp2 + i_s * (fx_im + 2.0 * fx) * dx) / dx**2
     ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) / dx**2
-    gg = (-(fy_im - fy) + cc * dx**2) / (i_s * dx)
+    gg = ((fy - fy_im) + cc * dx**2) / (i_s * dx)
 
     X = ctx["X"]
     Y = ctx["Y"]
