@@ -153,6 +153,72 @@ def test_solver_golden_confinement(scheme):
     _cmp_ref("dye", state.dye, sol.dye.current.arr, tol=2e-5)
 
 
+@pytest.mark.parametrize(("num", "res"), [(2, 40), (3, 40), (5, 40), (6, 36)])
+def test_solver_golden_all_scenes(num, res):
+    """The reference solver source on the remaining scenes — 2, 3 (its
+    seed-123 obstacle layout), 5, and 6 (the PIL dragon mask) — CIP +
+    dye from the cold start, closing scene coverage of the golden
+    harness (scenes 1 and 4 are exercised above).
+
+    Resolutions are the smallest where the scene geometry is
+    non-degenerate: at res=20 scene 2's obstacles violate the BC
+    kernel's ≥2px-wall assumption (``fs/boundary_condition.py:26``), the
+    neighbor-ghost writes race, and the stub's sequential execution is
+    just one of the orders real parallel Taichi could produce (measured
+    divergence 5e-2 at res=20 vs 9e-8 at res=40 — see PARITY.md §2)."""
+    ref = _make_ref_sim(num, "cip", vor_eps=None, enable_dye=True, res=res)
+    for _ in range(STEPS):
+        ref.step()
+    sol = ref._solver
+
+    state, _, _ = _run_jax(num, "cip", vor_eps=None, enable_dye=True, res=res)
+    for name, jax_arr, ref_buf in [
+        ("v", state.v, sol.v),
+        ("p", state.p, sol.p),
+        ("dye", state.dye, sol.dye),
+    ]:
+        _cmp_ref(name, jax_arr, ref_buf.current.arr, tol=2e-5)
+
+    # The carried gradients are discontinuous in the carrying velocity:
+    # CIP's upwind-cell select flips on the SIGN of v, so where a jet
+    # edge holds |v| ≈ rounding noise, a 1e-7 FP difference picks a
+    # different upwind cell and the local gradient lands O(∂f) apart.
+    # Verified three ways at scene 2 (4,19): the stubbed reference, the
+    # scalar oracle, and this build each give a DIFFERENT value there —
+    # branch chaos, not an implementation error — while v/p/dye above
+    # stay at rounding scale, showing the flipped cells don't
+    # contaminate the primary fields. Assert the gradients match to
+    # 1e-4·scale except ≤8 such isolated cells.
+    for name, jax_arr, ref_buf in [("vx", state.vx, sol.vx), ("vy", state.vy, sol.vy)]:
+        got = np.moveaxis(np.asarray(jax_arr), 0, -1)
+        ref_arr = ref_buf.current.arr
+        # 1e-4·scale: divided differences amplify rounding noise by 1/dx.
+        bad = np.abs(got - ref_arr) > 1e-4 * max(1.0, float(np.abs(ref_arr).max()))
+        assert bad.sum() <= 8, (
+            f"{name}: {int(bad.sum())} divergent cells at {np.argwhere(bad)[:10]}"
+        )
+
+
+def test_solver_golden_long_horizon():
+    """Ten steps against the reference source (KK + dye, scene 1): FP
+    drift stays at rounding scale over a longer horizon than the 3-step
+    goldens (the BASELINE ≤1e-5-RMS claim is per-field FP32 noise, which
+    compounds ~linearly in step count)."""
+    steps = 10
+    ref = _make_ref_sim(1, "kk", vor_eps=None, enable_dye=True)
+    for _ in range(steps):
+        ref.step()
+    sol = ref._solver
+
+    state, _, _ = _run_jax(1, "kk", vor_eps=None, enable_dye=True, steps=steps)
+    for name, jax_arr, ref_buf in [
+        ("v", state.v, sol.v),
+        ("p", state.p, sol.p),
+        ("dye", state.dye, sol.dye),
+    ]:
+        _cmp_ref(name, jax_arr, ref_buf.current.arr, tol=1e-4)
+
+
 def test_jacobi_updater_golden():
     """The factory-unused JacobiPressureUpdater (``fs/pressure_updater.py:42-66``)
     wired manually into a MacSolver, vs the JAX jacobi path."""
