@@ -208,7 +208,9 @@ def main(argv: list[str] | None = None) -> None:
         try:
             nx, ny = (int(v) for v in args.shard_mesh.lower().split("x"))
         except ValueError:
-            parser.error("--shard-mesh expects NXxNY, e.g. 4x2")
+            nx = ny = 0
+        if nx < 1 or ny < 1:
+            parser.error("--shard-mesh expects NXxNY with positive ints, e.g. 4x2")
         shard_simulator(sim, mesh_shape=(nx, ny))
     elif args.shard:
         from fluid2d_tpu.parallel.sharding import shard_simulator

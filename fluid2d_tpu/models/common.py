@@ -51,6 +51,8 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     """n_iter pressure iterations with the configured solver
     (``fs/pressure_updater.py:56-60,86-90``). Returns the new
     ``(p_cur, p_alt)`` pair."""
+    if cfg.n_pressure_iter <= 0:
+        return p_cur, p_alt
     sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
     interp = cfg.kernels == "pallas_interpret"
     if sor_pallas and cfg.n_pressure_iter <= 4:
@@ -59,9 +61,12 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
         except PallasInfeasibleError:
             sor_pallas = False
     if sor_pallas:
+        # Only the n > 4 lax.scan path reaches here with sor_pallas still
+        # set (the ≤4 path returned or proved infeasibility above);
+        # feasibility is resolution-dependent — probe at trace time.
         from fluid2d_tpu.ops.pallas_stencil import suppress_traffic_log
 
-        try:  # feasibility is resolution-dependent; probe at trace time
+        try:
             with suppress_traffic_log():
                 sor_iteration_pallas(
                     p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,

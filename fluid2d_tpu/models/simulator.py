@@ -155,7 +155,14 @@ class FluidSimulator:
         `bc_num` / `mask_image` are explicit overrides."""
         state, cfg, meta = fio.load_checkpoint(path)
         bc = bc_num if bc_num is not None else meta.get("bc_num", 1)
-        mask = mask_image if mask_image is not None else meta.get("mask_image")
+        if bc_num is not None and mask_image is None:
+            # An explicit bc override replaces the scene identity: do NOT
+            # inherit a stored mask image (get_scene short-circuits on
+            # mask_image before reading bc_num, so inheriting it would
+            # silently keep the old obstacle layout).
+            mask = None
+        else:
+            mask = mask_image if mask_image is not None else meta.get("mask_image")
         scene = get_scene(bc, cfg.resolution, mask_image=mask)
         return cls(scene, cfg, state=state,
                    scene_meta={"bc_num": bc, "mask_image": mask})

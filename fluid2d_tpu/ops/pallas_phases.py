@@ -48,6 +48,7 @@ from fluid2d_tpu.ops.pallas_stencil import (
     _LH2,
     _halo_triple_specs,
     _halo_triple_specs_cgrid,
+    _reclamp,
     _sy,
     _vmem_tile,
     center_bytes,
@@ -73,35 +74,6 @@ from fluid2d_tpu.ops.limiters import clamp_field
 from fluid2d_tpu.ops.stencil import tmax, tmin
 
 # --- window expressions -----------------------------------------------------
-
-
-def _reclamp(win, ti, n_t: int, a: int, b: int | None = None):
-    """Re-impose clamp-to-edge on a COMPUTED row window at grid-edge tiles.
-
-    `win` covers rows [-a, t+b); its halo rows were computed from
-    edge-replicated *raw inputs*, which does not commute with the
-    computation — the reference's semantics clamp the computed value
-    instead. At the first/last tile, replace the out-of-grid rows with
-    replicas of the true edge row. Interior tiles are untouched.
-    """
-    if b is None:
-        b = a
-    if not (a or b):
-        return win
-    n = win.shape[-2]
-    # Select on the halo SLABS only, then one concat — the win-sized
-    # where/concat formulation costs ~4 full-window VPU passes per call
-    # and reclamps run 8-17× per phase kernel (the kernels are
-    # VPU-bound, docs/BENCH.md).
-    parts = []
-    if a:
-        true_top = jnp.repeat(win[..., a : a + 1, :], a, axis=-2)
-        parts.append(jnp.where(ti == 0, true_top, win[..., :a, :]))
-    parts.append(win[..., a : n - b, :])
-    if b:
-        true_bot = jnp.repeat(win[..., n - b - 1 : n - b, :], b, axis=-2)
-        parts.append(jnp.where(ti == n_t - 1, true_bot, win[..., n - b :, :]))
-    return jnp.concatenate(parts, axis=-2)
 
 
 def _velocity_bc_window(u_w, w_w, code, const_u, const_w):

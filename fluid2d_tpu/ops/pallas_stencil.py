@@ -48,6 +48,7 @@ class PallasInfeasibleError(ValueError):
     jnp path (raised at trace time, before any pallas_call)."""
 
 _HB = 8  # side-halo block rows (Mosaic's sublane tile)
+_HY = 128  # 2-D tiling lane-halo block columns (one lane tile)
 
 # --- BlockSpec-derived HBM traffic ledger ------------------------------------
 #
@@ -92,15 +93,12 @@ def center_bytes(x: int, y: int, lead: int | None, itemsize: int = 4) -> int:
     return (lead or 1) * x * y * itemsize
 
 
-_HY2 = 128  # mirrors _HY (the 2-D tiling lane-halo width, defined below)
-
-
 def nine_bytes(x: int, y: int, t: int, ty: int, lead: int | None, itemsize: int = 4) -> int:
     """HBM bytes for one 9-block (2-D tiled) input: the tiles cover the
     array once, plus per-tile x-side (2·8·ty), y-side (2·t·128) and
     corner (4·8·128) blocks."""
     n_tiles = (x // t) * (y // ty)
-    extra = (2 * _HB * ty + 2 * t * _HY2 + 4 * _HB * _HY2) * n_tiles
+    extra = (2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY) * n_tiles
     return (lead or 1) * (x * y + extra) * itemsize
 
 
@@ -137,6 +135,35 @@ def _sy(arr, d: int):
         return jnp.concatenate([arr[..., d:], *([arr[..., -1:]] * d)], axis=-1)
     d = -d
     return jnp.concatenate([*([arr[..., :1]] * d), arr[..., :-d]], axis=-1)
+
+
+def _reclamp(win, ti, n_t: int, a: int, b: int | None = None):
+    """Re-impose clamp-to-edge on a COMPUTED row window at grid-edge tiles.
+
+    `win` covers rows [-a, t+b); its halo rows were computed from
+    edge-replicated *raw inputs*, which does not commute with the
+    computation — the reference's semantics clamp the computed value
+    instead. At the first/last tile, replace the out-of-grid rows with
+    replicas of the true edge row. Interior tiles are untouched.
+    """
+    if b is None:
+        b = a
+    if not (a or b):
+        return win
+    n = win.shape[-2]
+    # Select on the halo SLABS only, then one concat — the win-sized
+    # where/concat formulation costs ~4 full-window VPU passes per call
+    # and reclamps run 8-17× per phase kernel (the kernels are
+    # VPU-bound, docs/BENCH.md).
+    parts = []
+    if a:
+        true_top = jnp.repeat(win[..., a : a + 1, :], a, axis=-2)
+        parts.append(jnp.where(ti == 0, true_top, win[..., :a, :]))
+    parts.append(win[..., a : n - b, :])
+    if b:
+        true_bot = jnp.repeat(win[..., n - b - 1 : n - b, :], b, axis=-2)
+        parts.append(jnp.where(ti == n_t - 1, true_bot, win[..., n - b :, :]))
+    return jnp.concatenate(parts, axis=-2)
 
 
 def _ext(cur, prev8, next8, ti, n_t, h: int):
@@ -252,8 +279,6 @@ def _center_spec_cgrid(t: int, y: int, lead):
 # column (exact for raw inputs; computed intermediates would need the
 # clamp-of-computed treatment only at non-wall cells on the global y
 # edge, which no scene has — the y edges are walls, see docs/PARITY.md §3).
-
-_HY = 128  # lane-halo block columns (one lane tile)
 
 
 def _center2d_spec(t: int, ty: int, lead: int | None):
@@ -659,25 +684,6 @@ def _sl(win, dh: int):
     return win[dh:-dh, :] if dh else win
 
 
-def _reclamp_rows(win, ti, n_t: int, h: int):
-    """Re-impose clamp-to-edge on a COMPUTED row window.
-
-    `win` covers rows [-h, t+h). At grid-end tiles the out-of-domain halo
-    rows hold values computed from edge-replicated *raw* inputs — not the
-    clamp of the computed stage. Replace them with the window's true
-    domain-edge row, so any later read of global row <0 (or ≥X) resolves
-    to the computed row 0 (X−1) value, matching ``sample``'s semantics.
-    Interior tiles pass through untouched.
-    """
-    if h == 0:
-        return win
-    top = jnp.where(ti == 0, jnp.repeat(win[h : h + 1, :], h, axis=0), win[:h, :])
-    bot = jnp.where(
-        ti == n_t - 1, jnp.repeat(win[-h - 1 : -h, :], h, axis=0), win[-h:, :]
-    )
-    return jnp.concatenate([top, win[h:-h, :], bot], axis=0)
-
-
 def _sor_kernel(
     n_t: int, omega: float, dt: float, dx: float, v_limit: float | None, n_iters: int,
     p_c, p_p8, p_n8, pa_c, pa_p8, pa_n8, u_c, u_p8, u_n8, w_c, w_p8, w_n8,
@@ -718,7 +724,7 @@ def _sor_kernel(
 
         # Pressure BC (fs/boundary_condition.py:41-65): halo h-1.
         pbc = _pressure_bc_expr(cur, _sl(codee, hh - h))
-        pbc = _reclamp_rows(pbc, ti, n_t, h - 1)
+        pbc = _reclamp(pbc, ti, n_t, h - 1)
 
         # Odd sweep (fs/pressure_updater.py:98-102): reads BC'd current,
         # writes onto the alternate-buffer base. Halo h-2.
@@ -730,7 +736,7 @@ def _sor_kernel(
             (1.0 - omega) * _sl(pbc, 1) + omega * pred_odd,
             _sl(alt, alt_halo - (h - 2)),
         )
-        pn1 = _reclamp_rows(pn1, ti, n_t, h - 2)
+        pn1 = _reclamp(pn1, ti, n_t, h - 2)
 
         # Even sweep (fs/pressure_updater.py:104-108): reads pn1 at ±1
         # (true Gauss–Seidel coloring) and its own stale value via the
@@ -741,7 +747,7 @@ def _sor_kernel(
             (1.0 - omega) * _sl(pn1, 1) + omega * pred_even,
             _sl(pn1, 1),
         )
-        pn = _reclamp_rows(pn, ti, n_t, h - 3)
+        pn = _reclamp(pn, ti, n_t, h - 3)
 
         cur = pn  # halo h-3 = hh - 3(it+1): ready for the next iteration
         alt = pbc  # the BC'd input becomes the next iteration's alt base

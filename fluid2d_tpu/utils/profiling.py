@@ -64,6 +64,23 @@ def measure_hbm_bandwidth(mbytes: int = 40, iters: int = 2000) -> float:
     f = jnp.ones((x, y), jnp.float32)
     t = 64
 
+    if jax.default_backend() != "tpu":
+        # Non-TPU backends can't compile Pallas (and interpret mode would
+        # time the interpreter, not memory). Fall back to a jitted XLA
+        # elementwise pass — a lower but honest denominator that keeps
+        # roofline_report usable on CPU hosts.
+        @jax.jit
+        def xla_loop(f):
+            out, _ = jax.lax.scan(lambda c, _: (c + 1.0, None), f, None, length=iters)
+            return out
+
+        out = xla_loop(f)
+        float(np.asarray(out[0, 0]))
+        t0 = time.perf_counter()
+        out = xla_loop(f)
+        float(np.asarray(out[0, 0]))
+        return 2 * f.size * 4 / ((time.perf_counter() - t0) / iters)
+
     def copy_kernel(x_ref, o_ref):
         o_ref[:] = x_ref[:] + 1.0
 

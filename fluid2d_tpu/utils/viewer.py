@@ -35,7 +35,9 @@ def run_viewer(sim, vis: int = 0, render_every: int = 5, output_dir: str = "outp
 
     n_vis = 4 if sim.cfg.enable_dye else 3
     if not 0 <= vis < n_vis:
-        print(f"note: vis {vis} needs dye enabled; starting at vis 0")
+        print(f"note: vis {vis} is out of range (valid: 0..{n_vis - 1}"
+              f"{', 3 needs dye enabled' if not sim.cfg.enable_dye else ''});"
+              " starting at vis 0")
         vis = 0
     state = {"paused": False, "vis": vis, "quit": False, "ss": 0}
     out = Path(output_dir)

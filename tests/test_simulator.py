@@ -54,6 +54,27 @@ def test_checkpoint_roundtrip(tmp_path: Path, sim):
     np.testing.assert_array_equal(np.asarray(sim2.state.v), np.asarray(restored.state.v))
 
 
+def test_load_bc_override_replaces_stored_mask_scene(tmp_path: Path):
+    """An explicit bc_num override on load must NOT inherit the stored
+    mask image: get_scene short-circuits on mask_image before reading
+    bc_num, so inheriting it would silently keep the old obstacles."""
+    sim = FluidSimulator.create(1, 36, re=100.0, mask_image="dragon")
+    path = tmp_path / "ckpt.npz"
+    sim.save(path)
+
+    restored = FluidSimulator.load(path, bc_num=2)
+    assert restored.scene_meta == {"bc_num": 2, "mask_image": None}
+    assert not np.array_equal(
+        np.asarray(restored.scene.mask), np.asarray(sim.scene.mask)
+    )
+    # Without an override the stored identity (dragon) is restored.
+    inherited = FluidSimulator.load(path)
+    assert inherited.scene_meta["mask_image"] == "dragon"
+    np.testing.assert_array_equal(
+        np.asarray(inherited.scene.mask), np.asarray(sim.scene.mask)
+    )
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path: Path, sim):
     """Directory path → orbax backend (per-shard writes for sharded runs)."""
     path = tmp_path / "ckpt_dir"
