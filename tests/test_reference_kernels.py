@@ -13,9 +13,11 @@ full multi-step trajectories against
       itself tracks the reference source to FP32-reorder noise).
 
 Differences vs the real Taichi GPU runtime that remain out of reach
-here: parallel loop scheduling (irrelevant — the kernels are race-free
-on these scenes, see tests/taichi_stub.py) and instruction-level FP
-details (fma/reassociation), which are below the asserted tolerances.
+here: parallel loop scheduling — irrelevant at the tested resolutions,
+where the kernels are conflict-free (at degenerate sizes they are NOT:
+see test_solver_golden_all_scenes' docstring and PARITY.md §2 for the
+measured res=20 divergence) — and instruction-level FP details
+(fma/reassociation), which are below the asserted tolerances.
 dt/dx/re/ω enter the reference constructors as np.float32 so compound
 constants fold in f32 exactly as Taichi's kernel-scalar casts do.
 """
