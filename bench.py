@@ -21,6 +21,10 @@ import time
 def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=5.0, bc=2):
     import jax
 
+    from fluid2d_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # amortize the res≥1600 compiles across runs
+
     from fluid2d_tpu.config import SimConfig
     from fluid2d_tpu.models.simulator import make_run_fn
     from fluid2d_tpu.scenes.compile import get_scene

@@ -111,20 +111,9 @@ def main(argv: list[str] | None = None) -> None:
         jax.config.update("jax_platforms", "cpu")
 
     if args.compile_cache != "off":
-        import os
+        from fluid2d_tpu.utils.cache import enable_compile_cache
 
-        import jax
-
-        cache_dir = args.compile_cache
-        if cache_dir == "auto":
-            cache_dir = os.path.join(
-                os.path.expanduser("~"), ".cache", "fluid2d_tpu", "xla"
-            )
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
-            pass
+        enable_compile_cache(None if args.compile_cache == "auto" else args.compile_cache)
 
     import numpy as np  # deferred: after backend env is settled
 

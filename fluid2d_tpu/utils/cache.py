@@ -1,0 +1,29 @@
+"""Persistent XLA compilation cache.
+
+First compiles at res≥1600 cost 20–40 s (minutes at res=4096 through a
+remote tunnel); the persistent cache amortizes them across processes.
+The CLI enables this via ``--compile-cache`` (default on); benchmarks
+and scripts call :func:`enable_compile_cache` directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["enable_compile_cache"]
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at `cache_dir`
+    (default ``~/.cache/fluid2d_tpu/xla``). Never fatal — returns the
+    directory on success, None if the config is unavailable."""
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "fluid2d_tpu", "xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — an optimization, never fatal
+        return None
+    return cache_dir

@@ -69,6 +69,9 @@ def time_step_on(cfg, scene_slab, steps: int) -> float:
 
 
 def main() -> None:
+    from fluid2d_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--res", type=int, default=4096)
     parser.add_argument("--devices", type=int, default=8)

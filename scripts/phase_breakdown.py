@@ -53,6 +53,9 @@ def ms_per_step(res, steps, **overrides):
 
 
 def main() -> None:
+    from fluid2d_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--res", type=int, default=1600)
     parser.add_argument("--steps", type=int, default=300)

@@ -26,6 +26,9 @@ def check(name: str, ok: bool, detail: str = "") -> bool:
 
 
 def main() -> int:
+    from fluid2d_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="smaller grids / fewer steps")
     args = parser.parse_args()
