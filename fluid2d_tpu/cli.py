@@ -110,7 +110,10 @@ def main(argv: list[str] | None = None) -> None:
         # long as no backend has been touched yet.
         jax.config.update("jax_platforms", "cpu")
 
-    if args.compile_cache != "off":
+    if args.compile_cache != "off" and not args.cpu:
+        # TPU only: XLA:CPU AOT cache entries are not reliably
+        # host-portable (machine-feature mismatch warnings on reload),
+        # and CPU compiles are cheap anyway.
         from fluid2d_tpu.utils.cache import enable_compile_cache
 
         enable_compile_cache(None if args.compile_cache == "auto" else args.compile_cache)
