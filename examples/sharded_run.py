@@ -32,6 +32,9 @@ if "device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count={args.devices}"
     ).strip()
+else:
+    print(f"note: XLA_FLAGS already sets a device count — it wins over "
+          f"--devices {args.devices}")
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -17,9 +17,12 @@ from pathlib import Path
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="TPU-native 2D fluid simulator")
+    # default=None (not 1) so --resume can tell "-bc 1" apart from
+    # "not passed": an explicit -bc must override a checkpoint's stored
+    # scene even when it equals the fresh-run default.
     parser.add_argument("-bc", "--boundary_condition", type=int,
-                        choices=[1, 2, 3, 4, 5, 6], default=1,
-                        help="Boundary condition scene number")
+                        choices=[1, 2, 3, 4, 5, 6], default=None,
+                        help="Boundary condition scene number (default 1)")
     parser.add_argument("-re", "--reynolds_num", type=float, default=1_000_000.0,
                         help="Reynolds number")
     parser.add_argument("-res", "--resolution", type=int, default=400,
@@ -110,10 +113,10 @@ def main(argv: list[str] | None = None) -> None:
         # long as no backend has been touched yet.
         jax.config.update("jax_platforms", "cpu")
 
-    if args.compile_cache != "off" and not args.cpu:
-        # TPU only: XLA:CPU AOT cache entries are not reliably
-        # host-portable (machine-feature mismatch warnings on reload),
-        # and CPU compiles are cheap anyway.
+    if args.compile_cache != "off":
+        # enable_compile_cache is itself TPU-only (it checks the RESOLVED
+        # backend — `-cpu` alone would miss a host where jax silently
+        # falls back to CPU because no TPU exists).
         from fluid2d_tpu.utils.cache import enable_compile_cache
 
         enable_compile_cache(None if args.compile_cache == "auto" else args.compile_cache)
@@ -143,7 +146,7 @@ def main(argv: list[str] | None = None) -> None:
         # passed CLI flags override where that is state-compatible.
         sim = FluidSimulator.load(
             args.resume,
-            bc_num=args.boundary_condition if explicit("boundary_condition") else None,
+            bc_num=args.boundary_condition,  # None ⇔ not passed
             mask_image=args.mask_image if explicit("mask_image") else None,
         )
         overrides = {}
@@ -186,11 +189,12 @@ def main(argv: list[str] | None = None) -> None:
             n_pressure_iter=args.pressure_iters,
             kernels=args.kernels,
         )
-        scene = get_scene(args.boundary_condition, args.resolution,
+        bc_num = args.boundary_condition if args.boundary_condition is not None else 1
+        scene = get_scene(bc_num, args.resolution,
                           mask_image=args.mask_image or None)
         sim = FluidSimulator(
             scene, cfg,
-            scene_meta={"bc_num": args.boundary_condition,
+            scene_meta={"bc_num": bc_num,
                         "mask_image": args.mask_image or None},
         )
 

@@ -15,13 +15,21 @@ __all__ = ["enable_compile_cache"]
 
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at `cache_dir`
-    (default ``~/.cache/fluid2d_tpu/xla``). Never fatal — returns the
-    directory on success, None if the config is unavailable."""
+    (default ``~/.cache/fluid2d_tpu/xla``) — TPU backends only: XLA:CPU
+    AOT cache entries are not reliably host-portable (machine-feature
+    mismatch errors on reload), and CPU compiles are cheap anyway.
+    Never fatal — returns the directory on success, None otherwise.
+    Note this resolves the backend, so call it after any
+    ``jax.config.update("jax_platforms", ...)``."""
     import jax
 
-    if cache_dir is None:
-        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "fluid2d_tpu", "xla")
     try:
+        if jax.default_backend() != "tpu":
+            return None
+        if cache_dir is None:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "fluid2d_tpu", "xla"
+            )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — an optimization, never fatal
