@@ -571,9 +571,15 @@ def cip_dye_phase_pallas(
     def cost_rows(t: int) -> float:
         # Per-program: 7 one-channel f32 halo triples + the 2-channel
         # velocity triple + ~2 i8 triples; 6 one-channel out blocks +
-        # fluid; the 10-row ctx scratch (single-buffered) + stack.
+        # fluid; the 10-row ctx scratch (single-buffered) + stack. The
+        # stack coefficient is calibrated down from the channel-folded
+        # kernel's 60: with ONE channel's DAG live and the velocity ctx
+        # in scratch, the measured-feasible frontier is t=32 at Y=1600
+        # (+7% end-to-end, 178 vs 166) and t=8 at Y=4096 (1-D beats the
+        # 2-D path, 18.9 vs 18.2) while t=40@1600 / t=16@4096 fail to
+        # compile — coefficient 20 reproduces exactly that boundary.
         blocks = 9 * (t + 2 * _HB) + 0.6 * (t + 2 * _HB) + 6 * t + 0.25 * t
-        return 2 * blocks + 10 * t + 60 * t
+        return 2 * blocks + 10 * t + 20 * t
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
