@@ -815,6 +815,13 @@ def mac_velocity_phase_pallas(
     x_rows, y_cols = p.shape
 
     def cost_rows(t: int) -> float:
+        # The 40-row stack term is deliberately NOT recalibrated down
+        # like the dye kernel's: a frontier-fit coefficient (9) was
+        # measured end-to-end and REGRESSES despite compiling — t=64 at
+        # Y=1600 gains 2%, but t=128 at Y=800 loses 4% and t=16 at
+        # Y=4096 collapses to 2.7 steps/s (vs 49 at t=8; compiles-but-
+        # thrashes). Mosaic feasibility is not a perf model; keep the
+        # conservative figure whose tile choices are all measured good.
         blocks = 7 * (t + 2 * _HB) + 0.3 * (t + 2 * _HB) + 4 * t + 0.25 * t
         return 2 * blocks + 40 * t
 
