@@ -15,30 +15,50 @@ import time
 from pathlib import Path
 
 
+# Fresh-run defaults for the flags whose "explicitly passed?" status
+# matters on --resume. The parser uses argparse.SUPPRESS as the default
+# (the attribute is simply absent when a flag wasn't typed), so an
+# explicitly re-passed default value is still recognized as explicit —
+# e.g. `--resume ckpt --pressure-iters 2` restores 2 on a checkpoint
+# saved with 4. resolve_args() fills the absentees in from this table.
+DEFAULTS = {
+    "boundary_condition": None,  # None ⇔ "use the checkpoint's scene" on resume
+    "reynolds_num": 1_000_000.0,
+    "resolution": 400,
+    "time_step": 0.0,
+    "vorticity_confinement": 5.0,
+    "advection_scheme": "cip",
+    "no_dye": False,
+    "pressure_solver": "sor",
+    "sor_omega": 1.3,
+    "pressure_iters": 2,
+    "kernels": "auto",
+    "mask_image": "",
+}
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="TPU-native 2D fluid simulator")
-    # default=None (not 1) so --resume can tell "-bc 1" apart from
-    # "not passed": an explicit -bc must override a checkpoint's stored
-    # scene even when it equals the fresh-run default.
+    unset = argparse.SUPPRESS
     parser.add_argument("-bc", "--boundary_condition", type=int,
-                        choices=[1, 2, 3, 4, 5, 6], default=None,
+                        choices=[1, 2, 3, 4, 5, 6], default=unset,
                         help="Boundary condition scene number (default 1)")
-    parser.add_argument("-re", "--reynolds_num", type=float, default=1_000_000.0,
-                        help="Reynolds number")
-    parser.add_argument("-res", "--resolution", type=int, default=400,
-                        help="Resolution of y-axis (grid is 2·res × res)")
-    parser.add_argument("-dt", "--time_step", type=float, default=0.0,
+    parser.add_argument("-re", "--reynolds_num", type=float, default=unset,
+                        help="Reynolds number (default 1e6)")
+    parser.add_argument("-res", "--resolution", type=int, default=unset,
+                        help="Resolution of y-axis (grid is 2·res × res; default 400)")
+    parser.add_argument("-dt", "--time_step", type=float, default=unset,
                         help="Time step (0 → 0.05/resolution)")
     parser.add_argument("-vis", "--visualization", type=int,
                         choices=[0, 1, 2, 3], default=0,
                         help="0: velocity norm + pressure, 1: pressure, "
                              "2: vorticity, 3: dye")
-    parser.add_argument("-vc", "--vorticity_confinement", type=float, default=5.0,
-                        help="Vorticity confinement weight; 0.0 disables")
+    parser.add_argument("-vc", "--vorticity_confinement", type=float, default=unset,
+                        help="Vorticity confinement weight (default 5.0); 0.0 disables")
     parser.add_argument("-scheme", "--advection_scheme", type=str,
-                        choices=["upwind", "kk", "cip"], default="cip",
-                        help="Advection scheme")
-    parser.add_argument("-no_dye", "--no_dye", action="store_true",
+                        choices=["upwind", "kk", "cip"], default=unset,
+                        help="Advection scheme (default cip)")
+    parser.add_argument("-no_dye", "--no_dye", action="store_true", default=unset,
                         help="Disable dye transport")
     parser.add_argument("-cpu", "--cpu", action="store_true",
                         help="Force the CPU backend")
@@ -64,13 +84,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", type=str, default="",
                         help="Resume from a checkpoint written by --checkpoint")
     parser.add_argument("--pressure-solver", type=str, choices=["sor", "jacobi"],
-                        default="sor")
+                        default=argparse.SUPPRESS,
+                        help="Pressure Poisson solver (default sor)")
     parser.add_argument("--kernels", type=str, choices=["auto", "xla", "pallas"],
-                        default="auto",
+                        default=argparse.SUPPRESS,
                         help="Compute path: fused Pallas kernels (TPU default) "
                              "or plain XLA")
-    parser.add_argument("--sor-omega", type=float, default=1.3)
-    parser.add_argument("--pressure-iters", type=int, default=2)
+    parser.add_argument("--sor-omega", type=float, default=argparse.SUPPRESS,
+                        help="SOR relaxation factor (default 1.3)")
+    parser.add_argument("--pressure-iters", type=int, default=argparse.SUPPRESS,
+                        help="Pressure iterations per step (default 2)")
     parser.add_argument("--log-every", type=int, default=0,
                         help="Log steps/sec and field diagnostics every N steps")
     parser.add_argument("--shard", type=int, default=0,
@@ -78,7 +101,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--shard-mesh", type=str, default="",
                         help="2-D decomposition: NXxNY device mesh (e.g. 4x2); "
                              "GSPMD route only, overrides --shard")
-    parser.add_argument("--mask-image", type=str, default="",
+    parser.add_argument("--mask-image", type=str, default=argparse.SUPPRESS,
                         help="Obstacle silhouette: a grayscale image path or a "
                              "bundled asset name (dragon, rabbit, aircraft); "
                              "replaces the -bc scene")
@@ -92,15 +115,25 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def resolve_args(args: argparse.Namespace):
+    """Fill suppressed (not-typed) flags with their fresh-run defaults and
+    return the set of dests the user actually typed."""
+    typed = {dest for dest in DEFAULTS if hasattr(args, dest)}
+    for dest, value in DEFAULTS.items():
+        if dest not in typed:
+            setattr(args, dest, value)
+    return typed
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
+    typed = resolve_args(args)
 
     def explicit(dest: str) -> bool:
-        """Whether a flag differs from its default (≈ explicitly passed;
-        re-passing the exact default is indistinguishable and treated as
-        not-given, which is harmless for override purposes)."""
-        return getattr(args, dest) != parser.get_default(dest)
+        """Whether the user typed this flag (sentinel-default exact,
+        including re-passing a value equal to the default)."""
+        return dest in typed
 
     if args.visualization == 3 and args.no_dye:
         parser.error("-vis 3 (dye) requires dye transport; drop -no_dye")
@@ -242,7 +275,7 @@ def main(argv: list[str] | None = None) -> None:
                              args.checkpoint_every if args.checkpoint else 0) if v]
     done = 0
     frame_idx = 0
-    gif_frames = []
+    gif_paths: list[Path] = []  # frame FILES — the GIF streams from disk
     aborted = False
     t0 = time.perf_counter()
     while done < args.steps:
@@ -261,9 +294,10 @@ def main(argv: list[str] | None = None) -> None:
             sim.save(args.checkpoint)
         if args.frame_every and done % args.frame_every == 0:
             frame = to_image(sim._render(sim.state, sim.scene, args.visualization))
-            write_png(out_dir / f"frame_{frame_idx:05d}.png", frame)
+            frame_path = out_dir / f"frame_{frame_idx:05d}.png"
+            write_png(frame_path, frame)
             if args.gif:
-                gif_frames.append(frame)
+                gif_paths.append(frame_path)
             frame_idx += 1
         if args.log_every and done % args.log_every == 0:
             elapsed = time.perf_counter() - t0
@@ -278,11 +312,11 @@ def main(argv: list[str] | None = None) -> None:
         out_dir.mkdir(parents=True, exist_ok=True)
         np.savez(out_dir / f"step_{sim.step_count:06d}.npz", **fields_to_numpy(sim.state))
         print(f"dumped fields to {out_dir}")
-    if args.gif and gif_frames:
+    if args.gif and gif_paths:
         from fluid2d_tpu.utils.io import write_gif
 
-        write_gif(args.gif, gif_frames)
-        print(f"animation written to {args.gif} ({len(gif_frames)} frames)")
+        write_gif(args.gif, gif_paths)
+        print(f"animation written to {args.gif} ({len(gif_paths)} frames)")
     if args.checkpoint and not aborted:
         # After a NaN abort the final state is garbage — keep the last
         # good periodic checkpoint instead of overwriting it.

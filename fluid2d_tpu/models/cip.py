@@ -34,6 +34,7 @@ from fluid2d_tpu.ops.pallas_stencil import PallasInfeasibleError
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
+from fluid2d_tpu.utils.notes import note_once
 
 __all__ = ["cip_step"]
 
@@ -68,6 +69,8 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                 state.vy, state.vy_alt, scene, cfg.re, dt, dx, interpret=interp,
             )
         except PallasInfeasibleError:
+            note_once("CIP velocity Pallas kernel infeasible at this grid "
+                      "size; the velocity phase falls back to the jnp path")
             pallas = False  # grid too wide for VMEM tiles — jnp path
     if not pallas:
         vc = velocity_bc(state.v, scene)
@@ -115,6 +118,8 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                     interpret=interp,
                 )
             except PallasInfeasibleError:
+                note_once("CIP dye Pallas kernel infeasible at this grid "
+                          "size; the dye phase falls back to the jnp path")
                 dye_pallas = False
         if not dye_pallas:
             dc = dye_bc(state.dye, scene)

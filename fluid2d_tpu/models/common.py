@@ -17,6 +17,7 @@ from fluid2d_tpu.ops.pressure import jacobi_pressure_iteration, sor_pressure_ite
 from fluid2d_tpu.ops.stencil import diff2_x, diff2_y, diff_x, diff_y
 from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
+from fluid2d_tpu.utils.notes import note_once
 
 __all__ = [
     "update_pressure",
@@ -53,12 +54,17 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     ``(p_cur, p_alt)`` pair."""
     if cfg.n_pressure_iter <= 0:
         return p_cur, p_alt
+    if cfg.pressure_solver == "jacobi" and use_pallas(cfg, p_cur.shape[-2]):
+        note_once("--pressure-solver jacobi has no fused Pallas kernel; "
+                  "it runs on the jnp/XLA path (slower than sor on TPU)")
     sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
     interp = cfg.kernels == "pallas_interpret"
     if sor_pallas and cfg.n_pressure_iter <= 4:
         try:
             return _sor_pallas_iters(p_cur, p_alt, v, scene, cfg, interp)
         except PallasInfeasibleError:
+            note_once("Pallas SOR kernel infeasible at this grid size; "
+                      "pressure iterations fall back to the jnp path (slower)")
             sor_pallas = False
     if sor_pallas:
         # Only the n > 4 lax.scan path reaches here with sor_pallas still
@@ -73,6 +79,8 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
                     cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
                 )
         except PallasInfeasibleError:
+            note_once("Pallas SOR kernel infeasible at this grid size; "
+                      "pressure iterations fall back to the jnp path (slower)")
             sor_pallas = False
     if sor_pallas:
         one = lambda pair, _: (  # noqa: E731
@@ -116,7 +124,7 @@ def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
                 p_cur, p_alt, v, scene, cfg, interp, v_limit=cfg.velocity_limit
             )
         except PallasInfeasibleError:
-            pass
+            pass  # update_pressure below re-probes and prints the note
     p_cur, p_alt = update_pressure(p_cur, p_alt, v, scene, cfg)
     return p_cur, p_alt, limit_vector_norm(v, cfg.velocity_limit)
 
@@ -168,5 +176,6 @@ def confinement(v_cur, v_alt, scene: Scene, cfg: SimConfig):
                 interpret=(cfg.kernels == "pallas_interpret"),
             )
         except PallasInfeasibleError:
-            pass
+            note_once("Pallas confinement kernel infeasible at this grid "
+                      "size; vorticity confinement falls back to the jnp path")
     return apply_confinement(v_cur, v_alt, scene.fluid, cfg.dt, cfg.vor_eps, cfg.dx)

@@ -31,6 +31,7 @@ from fluid2d_tpu.ops.pallas_stencil import PallasInfeasibleError
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
+from fluid2d_tpu.utils.notes import note_once
 
 __all__ = ["mac_step"]
 
@@ -54,6 +55,8 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                 interpret=interp,
             )
         except PallasInfeasibleError:
+            note_once("MAC velocity Pallas kernel infeasible at this grid "
+                      "size; the velocity phase falls back to the jnp path")
             pallas = False  # grid too wide for VMEM tiles — jnp path
     if not pallas:
         vc = velocity_bc(state.v, scene)
@@ -83,6 +86,8 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                     interpret=interp,
                 )
             except PallasInfeasibleError:
+                note_once("MAC dye Pallas kernel infeasible at this grid "
+                          "size; the dye phase falls back to the jnp path")
                 dye_pallas = False
         if not dye_pallas:
             dc = dye_bc(state.dye, scene)

@@ -160,6 +160,10 @@ class FluidSimulator:
             # inherit a stored mask image (get_scene short-circuits on
             # mask_image before reading bc_num, so inheriting it would
             # silently keep the old obstacle layout).
+            if meta.get("mask_image"):
+                print(f"note: -bc {bc_num} overrides the checkpoint's scene; "
+                      f"the stored mask image ({meta['mask_image']}) is "
+                      f"discarded (pass --mask-image to keep it)")
             mask = None
         else:
             mask = mask_image if mask_image is not None else meta.get("mask_image")

@@ -512,6 +512,10 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
     # IEEE-exact identities are folded by hand: x − 2·(−t) ≡ x + 2·t,
     # −(a−b) ≡ b−a, and −tmp1 is negated once (each saves one VPU pass
     # per channel; fs/solver.py:307-313 is the reference algebra).
+    # ±0 caveat: the −(a−b) ≡ b−a fold in `gg` flips the sign of zero
+    # when fy == fy_im (−0 → +0). gg only ever enters sums/products, so
+    # no observable difference — but it is the one fold here that is not
+    # bit-identical in all cases (keep in mind for bit-exactness audits).
     ntmp1 = -tmp1
     a = (i_s * (fx_im + fx) * dx + 2.0 * tmp2) / i_s_denom
     bb = (j_s * (fy_jm + fy) * dx + 2.0 * tmp3) / j_s_denom

@@ -34,6 +34,9 @@ def make_mesh(n_devices: int | None = None, devices=None,
     if devices is None:
         devices = jax.devices()
     if shape is not None:
+        if n_devices is not None:
+            msg = "pass either n_devices or shape, not both (shape fixes the device count)"
+            raise ValueError(msg)
         nx, ny = shape
         if len(devices) < nx * ny:
             msg = f"requested {nx}x{ny} mesh, only {len(devices)} devices available"

@@ -116,18 +116,29 @@ def write_png(path: str | Path, image: np.ndarray) -> None:
     Image.fromarray(image).save(path)
 
 
-def write_gif(path: str | Path, frames: list[np.ndarray], fps: int = 30) -> None:
-    """Animate uint8 H×W×3 frames into a GIF (the reference's disabled
-    VideoManager capability, ``main.py:86,109``)."""
+def write_gif(path: str | Path, frames, fps: int = 30) -> None:
+    """Animate frames into a GIF (the reference's disabled VideoManager
+    capability, ``main.py:86,109``).
+
+    ``frames`` is an iterable of uint8 H×W×3 arrays **or image file
+    paths**. Paths are opened lazily one at a time through a generator,
+    so a long res≥1600 animation streams from the already-written PNG
+    frames at constant memory instead of holding every decoded frame in
+    host RAM."""
     from PIL import Image
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    images = [Image.fromarray(f) for f in frames]
-    images[0].save(
+
+    def to_img(f):
+        return Image.open(f) if isinstance(f, (str, Path)) else Image.fromarray(f)
+
+    it = iter(frames)
+    first = to_img(next(it))
+    first.save(
         path,
         save_all=True,
-        append_images=images[1:],
+        append_images=(to_img(f) for f in it),
         duration=max(1, round(1000 / fps)),
         loop=0,
     )

@@ -67,8 +67,10 @@ def measure_hbm_bandwidth(mbytes: int = 40, iters: int = 2000) -> float:
     if jax.default_backend() != "tpu":
         # Non-TPU backends can't compile Pallas (and interpret mode would
         # time the interpreter, not memory). Fall back to a jitted XLA
-        # elementwise pass — a lower but honest denominator that keeps
-        # roofline_report usable on CPU hosts.
+        # elementwise pass — an APPROXIMATE denominator that keeps
+        # roofline_report usable on CPU hosts; with a buffer this small
+        # it largely measures cache, not DRAM, bandwidth
+        # (roofline_report labels the result accordingly).
         @jax.jit
         def xla_loop(f):
             out, _ = jax.lax.scan(lambda c, _: (c + 1.0, None), f, None, length=iters)
@@ -194,7 +196,12 @@ def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100) -> d
     min_bytes = step_min_bytes(cfg, 2 * res, res)
     per_kernel = step_blockspec_bytes(cfg, res)
     spec_bytes = sum(per_kernel.values()) or min_bytes
-    report = {
+    report = {}
+    if jax.default_backend() != "tpu":
+        report["hbm_note"] = ("non-TPU backend: bandwidth denominator is an XLA "
+                              "elementwise pass over a cache-sized buffer — treat "
+                              "the roofline percentage as approximate")
+    report |= {
         "steps_per_sec": 1.0 / sec_per_step,
         "ms_per_step": sec_per_step * 1e3,
         "measured_hbm_GBps": bw / 1e9,
