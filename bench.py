@@ -71,14 +71,20 @@ def main() -> None:
         from fluid2d_tpu.utils.profiling import roofline_report
 
         rep = roofline_report(args.res, args.scheme, args.steps)
+        # One machine-readable JSON line (VERDICT r2 item #7) plus the
+        # human-readable echo on stderr.
+        print(json.dumps({"roofline": rep}))
         for k, v in rep.items():
-            print(f"# {k}: {v:.2f}", file=sys.stderr)
+            out = f"{v:.2f}" if isinstance(v, (int, float)) else v
+            print(f"# {k}: {out}", file=sys.stderr)
 
     if args.all:
         # Step counts sized so each timed run is ≥ ~1 s: the tunnel's
         # ~30 ms per-invocation latency floor corrupts short runs (a
         # 50-step res=400 run reads 4× slower than the true rate).
-        for res, steps in ((400, 2000), (800, 1000), (1600, 400)):
+        # res=4096 rows included so docs/BENCH.md's sweep table is
+        # reproducible from this one command (VERDICT r2 item #7).
+        for res, steps in ((400, 2000), (800, 1000), (1600, 400), (4096, 80)):
             for scheme in ("upwind", "kk", "cip"):
                 rate, _ = bench_config(res, scheme, steps)
                 print(f"# res={res:5d} scheme={scheme:6s}: {rate:9.1f} steps/s", file=sys.stderr)

@@ -9,11 +9,17 @@ measure:
 * The first term — the full step on a ghost-EXTENDED slab (redundant
   ghost-zone compute included) — is timed directly below, against the
   plain X_loc slab for the overhead ratio.
-* The exchange is two ppermute shifts of 2h rows per state field per
-  step over ICI; its byte volume is computed exactly and converted to
-  time with the v5p ICI figure (~90 GB/s effective per link direction,
-  "How to Scale Your Model"-class numbers); it also overlaps with
-  nothing in the current schedule, so it is added in full (pessimistic).
+* The exchange is two ppermute shifts of h rows per state field per
+  step over ICI (exactly what ``exchange_ghosts`` ships: h rows per
+  link per direction — VERDICT r2 item #4 halved this from 2h); the
+  byte volume is computed from that formula and converted to time over
+  a SENSITIVITY BAND of assumed per-direction ICI bandwidths
+  {low: 45, mid: 90, high: 180} GB/s — the mid point is the
+  "How to Scale Your Model"-class v5p figure, the band covers protocol
+  inefficiency (low) and full-duplex overlap (high). The exchange
+  overlaps with nothing in the current schedule, so it is added in full
+  (pessimistic), and send+recv are serialized in the formula (also
+  pessimistic for full-duplex links).
 
 Usage: python scripts/halo_bench.py [--res 4096] [--devices 8] [--steps 30]
 Writes the projection JSON to stdout; BENCH.md records the derivation.
@@ -76,8 +82,9 @@ def main() -> None:
     parser.add_argument("--res", type=int, default=4096)
     parser.add_argument("--devices", type=int, default=8)
     parser.add_argument("--steps", type=int, default=30)
-    parser.add_argument("--ici-GBps", type=float, default=90.0,
-                        help="assumed effective ICI bandwidth per link direction")
+    parser.add_argument("--ici-GBps", type=float, nargs=3, default=[45.0, 90.0, 180.0],
+                        metavar=("LOW", "MID", "HIGH"),
+                        help="assumed per-direction ICI bandwidth band (GB/s)")
     args = parser.parse_args()
 
     from fluid2d_tpu.config import SimConfig
@@ -95,18 +102,27 @@ def main() -> None:
     t_plain = time_step_on(cfg, slice_rows(scene, x_loc), args.steps)
     t_ext = time_step_on(cfg, slice_rows(scene, x_loc + 2 * h), args.steps)
 
-    # Exchange bytes: per step each device ppermutes 2h rows in each
-    # direction for every carried grid channel.
+    # Exchange bytes: per step each interior device ppermutes h rows in
+    # each direction for every carried grid channel — the exact volume
+    # exchange_ghosts ships (parallel/halo.py: top/bot strips are h rows;
+    # the end windows pad with replicated filler, no second strip).
     state = init_state(slice_rows(scene, x_loc), cfg)
     channels = sum(
         (1 if leaf.ndim == 2 else leaf.shape[0])
         for name, leaf in zip(SimState._fields, state)
         if leaf is not None and getattr(leaf, "ndim", 0) >= 2
     )
-    exch_bytes = 2 * (2 * h) * args.res * 4 * channels  # both directions
-    t_comm = exch_bytes / (args.ici_GBps * 1e9)
+    exch_bytes = 2 * h * args.res * 4 * channels  # h rows, both directions
 
-    t_proj = t_ext + t_comm
+    low, mid, high = args.ici_GBps
+    proj = {}
+    for label, bw in (("low", low), ("mid", mid), ("high", high)):
+        t_comm = exch_bytes / (bw * 1e9)
+        proj[label] = {
+            "assumed_ici_GBps": bw,
+            "exchange_ms_per_step": round(t_comm * 1e3, 3),
+            "projected_steps_per_sec": round(1.0 / (t_ext + t_comm), 1),
+        }
     print(json.dumps({
         "res": args.res,
         "devices": args.devices,
@@ -117,9 +133,7 @@ def main() -> None:
         "ghost_compute_overhead_pct": round(100 * (t_ext / t_plain - 1), 1),
         "state_channels_exchanged": channels,
         "exchange_MB_per_step": round(exch_bytes / 2**20, 1),
-        "assumed_ici_GBps": args.ici_GBps,
-        "exchange_ms_per_step": round(t_comm * 1e3, 3),
-        "projected_steps_per_sec": round(1.0 / t_proj, 1),
+        "projection": proj,
     }))
 
 
