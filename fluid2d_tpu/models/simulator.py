@@ -40,16 +40,31 @@ def make_step_fn(cfg: SimConfig):
 
 def make_run_fn(cfg: SimConfig):
     """Jitted (state, scene, n) → state running n steps via ``lax.scan``
-    with no host synchronization (n is static)."""
+    with no host synchronization (n is static).
+
+    The scan body runs TWO steps per iteration. The (cur, alt) buffer
+    pairs swap roles every step, so a 1-step body permutes the carry
+    slots each iteration and XLA must copy every fresh kernel output
+    back into its pinned while-carry buffer — the on-chip trace
+    (scripts/trace_kernels.py) measured those copies at 1.44 ms of the
+    5.50 ms res=1600 step (26%!), invisible to differential phase
+    timing. A 2-step body restores the parity (each pair swaps twice),
+    the slot assignment becomes the identity, and the copies vanish:
+    178.7 → 251.0 steps/s measured. A 4-step body adds nothing (249.1)
+    — the win is the period match, not the unroll depth."""
     step = step_fn_for(cfg)
 
     @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
     def run(state, scene, n: int):
         def body(st, _):
-            return step(st, scene), None
+            return step(step(st, scene), scene), None
 
-        final, _ = jax.lax.scan(body, state, None, length=n)
-        return final
+        pairs, rem = divmod(n, 2)
+        if pairs:
+            state, _ = jax.lax.scan(body, state, None, length=pairs)
+        if rem:
+            state = step(state, scene)
+        return state
 
     return run
 

@@ -127,18 +127,29 @@ def make_sharded_run_halo(cfg: SimConfig, mesh: Mesh, h: int | None = None):
     def shard_body(state_slab: SimState, scene_ext: Scene, n: int) -> SimState:
         x_loc = state_slab.p.shape[-2]
 
-        def body(st, _):
+        def one(st):
             ext = jax.tree.map(
                 lambda a: exchange_ghosts(a, h, n_dev) if _is_grid_leaf(a) else a, st
             )
             out = step(ext, scene_ext)
-            out = jax.tree.map(
+            return jax.tree.map(
                 lambda a: _strip(a, h, n_dev, x_loc) if _is_grid_leaf(a) else a, out
             )
-            return out, None
 
-        final, _ = jax.lax.scan(body, state_slab, None, length=n)
-        return final
+        # Two steps per scan iteration: the (cur, alt) buffer roles swap
+        # each step, so a 1-step body permutes the while-carry slots and
+        # XLA copies every buffer back per iteration (measured 26% of the
+        # res=1600 step on-chip — see make_run_fn). Period 2 restores the
+        # identity slot assignment.
+        def body(st, _):
+            return one(one(st)), None
+
+        pairs, rem = divmod(n, 2)
+        if pairs:
+            state_slab, _ = jax.lax.scan(body, state_slab, None, length=pairs)
+        if rem:
+            state_slab = one(state_slab)
+        return state_slab
 
     grid_spec = lambda leaf: P(*([None] * (leaf.ndim - 2)), AXIS, None)  # noqa: E731
 

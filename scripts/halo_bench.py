@@ -56,10 +56,12 @@ def time_step_on(cfg, scene_slab, steps: int) -> float:
 
     @jax.jit
     def run(state):
+        # 2 steps/iteration, matching the production run fn (the 1-step
+        # body pays per-iteration carry copies — see make_run_fn).
         def body(st, _):
-            return step(st, scene_slab), None
+            return step(step(st, scene_slab), scene_slab), None
 
-        out, _ = jax.lax.scan(body, state, None, length=steps)
+        out, _ = jax.lax.scan(body, state, None, length=steps // 2)
         return out
 
     state = init_state(scene_slab, cfg)
