@@ -1,8 +1,12 @@
 """Measure per-phase cost of the CIP step by differential timing.
 
-The phases can't be timed individually through the tunnel (per-call
-latency floor ~30 ms), so each phase's marginal cost is measured by
-toggling it against the full configuration:
+**Superseded for attribution by scripts/trace_kernels.py** (round 3):
+the on-chip trace showed this differential method hides cross-cutting
+costs — 26% of the res=1600 step was while-carry copies that toggling
+any phase partially removed, so the subtraction smeared them into the
+toggled phase (docs/BENCH.md "The hidden 26%"). Kept because marginal
+cost under a toggle is still the right number for "what does turning
+dye off buy me", and as the A/B harness for config-level experiments.
 
 * dye phase      = step(dye on) − step(dye off)
 * confinement    = step(vc=5)   − step(vc=0)
