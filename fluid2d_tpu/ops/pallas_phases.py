@@ -252,6 +252,91 @@ def _cip_velocity_kernel(
     )
 
 
+def _cip_velocity_kernel_cgrid(
+    n_t: int, re: float, dt: float, dx: float,
+    v_c, v_p8, v_n8, p_c, p_p8, p_n8, va_c, va_p8, va_n8,
+    vx_c, vx_p8, vx_n8, vxa_c, vxa_p8, vxa_n8,
+    vy_c, vy_p8, vy_n8, vya_c, vya_p8, vya_n8,
+    code_c, code_p8, code_n8, const_c, const_p8, const_n8,
+    nw_c, nw_p8, nw_n8, fluid_ref,
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out,
+    na_ref, bc_ref, ctx_ref,
+):
+    """Channel-grid variant of the CIP velocity phase: grid ``(n_t, 2)``
+    with the velocity channel minor. The channel-coupled phases (BC +
+    non-advection + carrying-velocity context) run once per row tile at
+    c==0 and spill to VMEM scratch; each program then advects ONE
+    channel's (f, fx, fy). This drops the per-program live set to one
+    channel's gradient inputs/outputs + one channel's advect DAG — the
+    same layout that made the dye kernel's 1-D t=8 tiles feasible at
+    Y=4096 where the folded kernel cannot compile (its 15-channel +
+    two-channel-DAG footprint exceeds VMEM at any t)."""
+    ti = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 5)
+        pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 3)
+        vae = _ext(va_c[:], va_p8[:], va_n8[:], ti, n_t, 2)
+        codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 3).astype(jnp.int32)
+        conste = _ext(const_c[:], const_p8[:], const_n8[:], ti, n_t, 3)
+        nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+        uc_bc, wc_bc = _velocity_bc_window(ve[0], ve[1], codee, conste[0], conste[1])
+        uc_bc = _reclamp(uc_bc, ti, n_t, 3)
+        wc_bc = _reclamp(wc_bc, ti, n_t, 3)
+        gpx, gpy = _grad_pair_window(pe, dx)
+        nw_mid = nwe != 0
+        u_na = jnp.where(
+            nw_mid, uc_bc[1:-1] + (-gpx + _lap_window(uc_bc, dx) / re) * dt, vae[0]
+        )
+        w_na = jnp.where(
+            nw_mid, wc_bc[1:-1] + (-gpy + _lap_window(wc_bc, dx) / re) * dt, vae[1]
+        )
+        u_na = _reclamp(u_na, ti, n_t, 2)
+        w_na = _reclamp(w_na, ti, n_t, 2)
+        na_ref[0] = u_na  # rows [-2, t+2)
+        na_ref[1] = w_na
+        bc_ref[0] = uc_bc[1:-1]  # rows [-2, t+2)
+        bc_ref[1] = wc_bc[1:-1]
+        ctx_store(ctx_ref, u_na[1:-1], w_na[1:-1], dt, dx)
+        # vna has a constant block index across the minor c steps: write
+        # both channels here, the c==1 program leaves the resident block
+        # untouched and the final flush carries these values.
+        vna_out[0] = u_na[2:-2]
+        vna_out[1] = w_na[2:-2]
+
+    # --- per-channel advection (both c values) ---
+    nwe2 = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    nw_in = (nwe2 != 0)[1:-1]
+    fluid = fluid_ref[:] != 0
+    is0 = c == 0
+    f_na = jnp.where(is0, na_ref[0], na_ref[1])  # rows [-2, t+2)
+    fc_bc = jnp.where(is0, bc_ref[0], bc_ref[1])
+    u_na_in = na_ref[0][1:-1]  # carrier: both channels, rows [-1, t+1)
+    w_na_in = na_ref[1][1:-1]
+    vctx = ctx_load(ctx_ref)
+
+    vxe = _ext(vx_c[0], vx_p8[0], vx_n8[0], ti, n_t, 1)
+    vxae = _ext(vxa_c[0], vxa_p8[0], vxa_n8[0], ti, n_t, 1)
+    vye = _ext(vy_c[0], vy_p8[0], vy_n8[0], ti, n_t, 1)
+    vyae = _ext(vya_c[0], vya_p8[0], vya_n8[0], ti, n_t, 1)
+
+    d = f_na - fc_bc  # rows [-2, t+2)
+    gx_na = jnp.where(nw_in, _grad_update_window(vxe, d, "x", dx), vxae)
+    gy_na = jnp.where(nw_in, _grad_update_window(vye, d, "y", dx), vyae)
+    gx_na = _reclamp(gx_na, ti, n_t, 1)
+    gy_na = _reclamp(gy_na, ti, n_t, 1)
+    vxna_out[0] = gx_na[1:-1]
+    vyna_out[0] = gy_na[1:-1]
+    fn, fxn, fyn = cip_advect_window_expr(
+        f_na[1:-1], gx_na, gy_na, u_na_in, w_na_in, dt, dx, ctx=vctx
+    )
+    v_out[0] = jnp.where(fluid, fn, fc_bc[2:-2])
+    vx_out[0] = jnp.where(fluid, fxn, vxe[1:-1])
+    vy_out[0] = jnp.where(fluid, fyn, vye[1:-1])
+
+
 def _cip_velocity_kernel_2d(
     n_tx: int, n_ty: int, ty: int, re: float, dt: float, dx: float,
     *refs,
@@ -293,13 +378,18 @@ def cip_velocity_phase_pallas(
     v, p, v_alt, vx, vx_alt, vy, vy_alt, scene,
     re: float, dt: float, dx: float,
     *, tile_x: int | None = None, interpret: bool = False,
+    channel_grid: bool | None = None,
 ):
     """Whole CIP velocity phase (BC + non-advection + grads + advection).
 
     Returns ``(v_cur, vx_cur, vy_cur, v_na, vx_na, vy_na)`` — the first
     three are the advected state, the latter three become the alternate
     buffers (exactly like the jnp composition in models/cip.py). Uses
-    row tiling when the lane width fits VMEM, 2-D tiling otherwise.
+    row tiling when the lane width fits VMEM; when it does not,
+    ``channel_grid`` (auto/None) tries the 1-D (n_t, 2) c-minor layout
+    (one channel's advect DAG per program, shared phases in VMEM
+    scratch — :func:`_cip_velocity_kernel_cgrid`) before falling back to
+    2-D tiling; True/False force/skip the channel grid.
     """
     x_rows, y_cols = p.shape
 
@@ -314,6 +404,15 @@ def cip_velocity_phase_pallas(
         return 2 * blocks + 55 * t
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    # channel_grid=None keeps the measured dispatch (folded 1-D, else
+    # 2-D); True forces the c-minor layout. Not auto-tried on folded-
+    # infeasible grids until it is benchmarked there: feasibility ≠ perf
+    # (docs/BENCH.md ledger, the t=16@4096 collapse).
+    if channel_grid is True:
+        return _cip_velocity_phase_cgrid(
+            v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+            tile_x=tile_x, interpret=interpret,
+        )
     if t is None:
         return _cip_velocity_phase_2d(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
@@ -346,6 +445,77 @@ def cip_velocity_phase_pallas(
         in_specs=specs,
         out_specs=[_center_spec(t, y_cols, 2)] * 6,
         out_shape=[out_sd] * 6,
+        interpret=interpret,
+    )(*args)
+
+
+def _cip_velocity_phase_cgrid(
+    v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+    *, tile_x: int | None = None, interpret: bool = False,
+):
+    x_rows, y_cols = p.shape
+
+    def cost_rows(t: int) -> float:
+        # Shared f32 triples (v 2, p 1, v_alt 2, const 2) + ~0.5 i8 +
+        # per-channel grads (4 one-channel triples) + 7 output rows
+        # (5 c-blocks + the 2-channel vna) + fluid; VMEM scratch
+        # (na 2·(t+4) + bc 2·(t+4) + ctx 10·t, single-buffered); stack =
+        # max(shared-phase DAG, one channel's advect DAG) — trace-order
+        # liveness frees the shared phase once it is spilled to scratch.
+        # Coefficient 25 ≈ the dye kernel's calibrated 20 + the
+        # where-selects over the scratch planes; REQUIRES on-TPU
+        # calibration like every other model here (feasibility ≠ perf).
+        blocks = (7 + 4 + 0.5) * (t + 2 * _HB) + 7.25 * t
+        scratch = 4 * (t + 4) + 10 * t
+        return 2 * blocks + scratch + 25 * t
+
+    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    if t is None:
+        msg = f"no valid cgrid tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
+    n_t = x_rows // t
+
+    hc = lambda lead: _halo_triple_specs_cgrid(t, y_cols, n_t, lead)  # noqa: E731
+    specs = (
+        hc(2) + hc(None) + hc(2) + hc("c") + hc("c") + hc("c") + hc("c")
+        + hc(None) + hc(2) + hc(None) + [_center_spec_cgrid(t, y_cols, None)]
+    )
+    args = (
+        [v] * 3 + [p] * 3 + [v_alt] * 3 + [vx] * 3 + [vx_alt] * 3 + [vy] * 3 + [vy_alt] * 3
+        + [scene.vbc_code] * 3 + [scene.bc_const] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
+    )
+    # DMA totals equal the folded kernel's: per-channel triples stream
+    # once per (tile, channel) = once over each array, constant-index
+    # shared blocks once per tile.
+    log_traffic(
+        "cip_velocity",
+        15 * triple_bytes(x_rows, y_cols, t, None)
+        + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 12 * center_bytes(x_rows, y_cols, None),
+    )
+
+    kernel = functools.partial(_cip_velocity_kernel_cgrid, n_t, re, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t, 2),
+        in_specs=specs,
+        out_specs=[
+            _center_spec_cgrid(t, y_cols, "c"),
+            _center_spec_cgrid(t, y_cols, "c"),
+            _center_spec_cgrid(t, y_cols, "c"),
+            _center_spec_cgrid(t, y_cols, 2),
+            _center_spec_cgrid(t, y_cols, "c"),
+            _center_spec_cgrid(t, y_cols, "c"),
+        ],
+        out_shape=[out_sd] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, t + 4, y_cols), jnp.float32),
+            pltpu.VMEM((2, t + 4, y_cols), jnp.float32),
+            pltpu.VMEM((10, t, y_cols), jnp.float32),
+        ],
         interpret=interpret,
     )(*args)
 
@@ -885,18 +1055,55 @@ def _mac_dye_kernel(
         dbc_out[c] = dc[halo:-halo]
 
 
+def _mac_dye_kernel_cgrid(
+    n_t: int, scheme: str, dt: float, dx: float,
+    d_c, d_p8, d_n8, vel_ref, da_c2, bcd_c, bcd_p8, bcd_n8,
+    inflow_c, inflow_p8, inflow_n8, fluid_ref,
+    d_out, dbc_out,
+):
+    ti = pl.program_id(0)
+    halo = 2 if scheme == "kk" else 1
+
+    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, halo).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+    u_cen = vel_ref[0]
+    w_cen = vel_ref[1]
+    advect = _advect_kk_window if scheme == "kk" else _advect_upwind_window
+
+    de = _ext(d_c[0], d_p8[0], d_n8[0], ti, n_t, halo)
+    bcde = _ext(bcd_c[0], bcd_p8[0], bcd_n8[0], ti, n_t, halo)
+    dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
+    dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
+    d_out[0] = clamp_field(jnp.where(fluid, dn, da_c2[0]), 0.0, 1.0)
+    dbc_out[0] = dc[halo:-halo]
+
+
 def mac_dye_phase_pallas(
     dye, dye_alt, vel, scene, scheme: str, dt: float, dx: float,
     *, tile_x: int | None = None, interpret: bool = False,
+    channel_grid: bool | None = None,
 ):
     """Dye BC + upwind/KK advection + clamp (``fs/solver.py:149-161``).
 
     Returns ``(dye_cur, dc)`` — clamped advected dye and the BC'd
-    pre-step dye (the new alternate)."""
+    pre-step dye (the new alternate).
+
+    ``channel_grid`` selects a ``(n_t, chans)`` c-minor grid (one
+    channel's blocks per program; velocity/masks constant-index across
+    the minor steps → fetched once per row tile), the layout that won
+    13% on the CIP dye kernel (VERDICT r2 item #6 asks for a measured
+    ledger entry on this kernel either way). Default stays folded until
+    the on-chip A/B lands — the first attempt was voided by a degraded
+    tunnel window (kk measured 25.7 steps/s against its 540 healthy
+    rate); the grid variant is selectable and interpret-tested
+    bit-identical meanwhile."""
     chans, x_rows, y_cols = dye.shape
+    if channel_grid is None:
+        channel_grid = False
 
     def cost_rows(t: int) -> float:
-        blocks = 2 * chans * (t + 2 * _HB) + 0.3 * (t + 2 * _HB) + (3 * chans + 2) * t
+        per_ch = 1 if channel_grid else chans
+        blocks = 2 * per_ch * (t + 2 * _HB) + 0.3 * (t + 2 * _HB) + (3 * per_ch + 2) * t
         return 2 * blocks + 30 * t
 
     t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
@@ -905,12 +1112,6 @@ def mac_dye_phase_pallas(
         raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
-    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
-    specs = (
-        h2(chans) + [_center_spec(t, y_cols, 2), _center_spec(t, y_cols, chans)]
-        + h2(chans) + h2(None) + [_center_spec(t, y_cols, None)]
-    )
-    args = [dye] * 3 + [vel, dye_alt] + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.fluid8]
     log_traffic(
         "mac_dye",
         2 * chans * triple_bytes(x_rows, y_cols, t, None)
@@ -919,9 +1120,33 @@ def mac_dye_phase_pallas(
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 2 * chans * center_bytes(x_rows, y_cols, None),
     )
-
-    kernel = functools.partial(_mac_dye_kernel, n_t, scheme, dt, dx)
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
+
+    if channel_grid:
+        hc = lambda lead: _halo_triple_specs_cgrid(t, y_cols, n_t, lead)  # noqa: E731
+        specs = (
+            hc("c") + [_center_spec_cgrid(t, y_cols, 2), _center_spec_cgrid(t, y_cols, "c")]
+            + hc("c") + hc(None) + [_center_spec_cgrid(t, y_cols, None)]
+        )
+        args = [dye] * 3 + [vel, dye_alt] + [scene.bc_dye] * 3 + [scene.inflow8] * 3 \
+            + [scene.fluid8]
+        kernel = functools.partial(_mac_dye_kernel_cgrid, n_t, scheme, dt, dx)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_t, chans),
+            in_specs=specs,
+            out_specs=[_center_spec_cgrid(t, y_cols, "c")] * 2,
+            out_shape=[out_sd] * 2,
+            interpret=interpret,
+        )(*args)
+
+    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+    specs = (
+        h2(chans) + [_center_spec(t, y_cols, 2), _center_spec(t, y_cols, chans)]
+        + h2(chans) + h2(None) + [_center_spec(t, y_cols, None)]
+    )
+    args = [dye] * 3 + [vel, dye_alt] + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.fluid8]
+    kernel = functools.partial(_mac_dye_kernel, n_t, scheme, dt, dx)
 
     return pl.pallas_call(
         kernel,
