@@ -189,3 +189,30 @@ def test_shard_simulator_falls_back_to_gspmd():
     assert sim.cfg.kernels == "xla"
     sim.step(2)
     assert not np.isnan(np.asarray(sim.state.v)).any()
+
+
+def test_exchange_ships_h_rows_per_link():
+    """VERDICT r2 item #4 guard: the ghost exchange ships exactly h rows
+    per link per direction (two ppermutes of (h, Y) slabs and nothing
+    more) — the volume halo_bench's projection formula assumes. The end
+    windows pad with replicated filler instead of a second real strip."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from fluid2d_tpu.parallel.halo import AXIS, exchange_ghosts
+
+    h, n_dev = 16, 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (AXIS,))
+    x = jnp.zeros((256, 64))
+
+    jaxpr = jax.make_jaxpr(
+        shard_map(lambda a: exchange_ghosts(a, h, n_dev), mesh=mesh,
+                  in_specs=(P(AXIS, None),), out_specs=P(AXIS, None),
+                  check_vma=False)
+    )(x)
+    inner = jaxpr.jaxpr.eqns[0].params["jaxpr"]
+    pperms = [e for e in inner.eqns if e.primitive.name == "ppermute"]
+    assert len(pperms) == 2
+    for e in pperms:
+        assert e.invars[0].aval.shape == (h, 64), e.invars[0].aval.shape
