@@ -300,11 +300,6 @@ def _cip_velocity_kernel_cgrid(
         bc_ref[0] = uc_bc[1:-1]  # rows [-2, t+2)
         bc_ref[1] = wc_bc[1:-1]
         ctx_store(ctx_ref, u_na[1:-1], w_na[1:-1], dt, dx)
-        # vna has a constant block index across the minor c steps: write
-        # both channels here, the c==1 program leaves the resident block
-        # untouched and the final flush carries these values.
-        vna_out[0] = u_na[2:-2]
-        vna_out[1] = w_na[2:-2]
 
     # --- per-channel advection (both c values) ---
     nwe2 = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
@@ -322,6 +317,7 @@ def _cip_velocity_kernel_cgrid(
     vye = _ext(vy_c[0], vy_p8[0], vy_n8[0], ti, n_t, 1)
     vyae = _ext(vya_c[0], vya_p8[0], vya_n8[0], ti, n_t, 1)
 
+    vna_out[0] = f_na[2:-2]  # each program writes its own channel block
     d = f_na - fc_bc  # rows [-2, t+2)
     gx_na = jnp.where(nw_in, _grad_update_window(vxe, d, "x", dx), vxae)
     gy_na = jnp.where(nw_in, _grad_update_window(vye, d, "y", dx), vyae)
@@ -502,14 +498,7 @@ def _cip_velocity_phase_cgrid(
         kernel,
         grid=(n_t, 2),
         in_specs=specs,
-        out_specs=[
-            _center_spec_cgrid(t, y_cols, "c"),
-            _center_spec_cgrid(t, y_cols, "c"),
-            _center_spec_cgrid(t, y_cols, "c"),
-            _center_spec_cgrid(t, y_cols, 2),
-            _center_spec_cgrid(t, y_cols, "c"),
-            _center_spec_cgrid(t, y_cols, "c"),
-        ],
+        out_specs=[_center_spec_cgrid(t, y_cols, "c")] * 6,
         out_shape=[out_sd] * 6,
         scratch_shapes=[
             pltpu.VMEM((2, t + 4, y_cols), jnp.float32),
