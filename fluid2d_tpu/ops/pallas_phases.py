@@ -602,6 +602,11 @@ def _cip_dye_body(
     #    dn = dc + (∇²dc/Re)·dt at not-wall (fs/solver.py:378-383).
     d_na = jnp.where(nw_mid, dc[1:-1] + (_lap_window(dc, dx) / re) * dt, dae)
     d_na = _reclamp(d_na, ti, n_t, 2)
+    # Store each output the moment its value is final (the velocity
+    # kernel's store-ordering trick): Mosaic can retire the windowed
+    # temporaries before the heavy advection DAG below instead of
+    # keeping all six outputs live to the end.
+    dna_out[oc] = cs(d_na[2:-2])
 
     # 3. Gradient update on rows [-1, t+1).
     delta = d_na - dc[1:-1]
@@ -611,6 +616,8 @@ def _cip_dye_body(
     gy_na = _reclamp(
         jnp.where(nw_in, _grad_update_window(dye_, delta, "y", dx), dyae), ti, n_t, 1
     )
+    dxna_out[oc] = cs(gx_na[1:-1])
+    dyna_out[oc] = cs(gy_na[1:-1])
 
     # 4. CIP advection by the (post-limit) velocity; then the global
     #    [0,1] clamp on the current buffer (fs/solver.py:366-373).
@@ -620,9 +627,6 @@ def _cip_dye_body(
     d_out[oc] = clamp_field(jnp.where(fluid, cs(fn), cs(dc[3:-3])), 0.0, 1.0)
     dx_out[oc] = jnp.where(fluid, cs(fxn), cs(dxe[1:-1]))
     dy_out[oc] = jnp.where(fluid, cs(fyn), cs(dye_[1:-1]))
-    dna_out[oc] = cs(d_na[2:-2])
-    dxna_out[oc] = cs(gx_na[1:-1])
-    dyna_out[oc] = cs(gy_na[1:-1])
 
 
 def _cip_dye_kernel(

@@ -38,16 +38,54 @@ def time_full_run(cfg, scene, steps: int) -> float:
     run = make_run_fn(cfg)
     state = init_state(scene, cfg)
     state = run(state, scene, steps)
-    float(np.asarray(state.v).ravel()[0])  # fence (tunnel-safe)
+    # Fence with a ONE-element device→host transfer: np.asarray(state.v)
+    # would ship the whole ~41 MB field through the tunnel inside the
+    # timed region (~1.7 s at res=1600 — it halved both arms' rates in
+    # the first cip-vel A/B before this fix).
+    float(np.asarray(state.v[0, 0, 0]))
     state = init_state(scene, cfg)
     t0 = time.perf_counter()
     state = run(state, scene, steps)
-    float(np.asarray(state.v).ravel()[0])
+    float(np.asarray(state.v[0, 0, 0]))
     elapsed = time.perf_counter() - t0
     if not np.isfinite(np.asarray(state.v)).all():
         msg = "non-finite fields — variant result is invalid"
         raise RuntimeError(msg)
     return steps / elapsed
+
+
+def _cip_dye_body_latestore(
+    ti, n_t, re, dt, dx, win, vctx, inflowe, nwe, fluid,
+    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, cs, oc=0,
+):
+    """The pre-reorder dye body: all six stores at the end (A/B arm)."""
+    import jax.numpy as jnp
+
+    import fluid2d_tpu.ops.pallas_phases as ph
+    from fluid2d_tpu.ops.limiters import clamp_field
+    from fluid2d_tpu.ops.pallas_stencil import cip_advect_window_expr
+
+    nw_mid = nwe != 0
+    nw_in = nw_mid[1:-1]
+    de, bcde, dae = win("d", 3), win("bcd", 3), win("da", 2)
+    dxe, dxae = win("dx", 1), win("dxa", 1)
+    dye_, dyae = win("dy", 1), win("dya", 1)
+    dc = ph._reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, 3)
+    d_na = jnp.where(nw_mid, dc[1:-1] + (ph._lap_window(dc, dx) / re) * dt, dae)
+    d_na = ph._reclamp(d_na, ti, n_t, 2)
+    delta = d_na - dc[1:-1]
+    gx_na = ph._reclamp(
+        jnp.where(nw_in, ph._grad_update_window(dxe, delta, "x", dx), dxae), ti, n_t, 1)
+    gy_na = ph._reclamp(
+        jnp.where(nw_in, ph._grad_update_window(dye_, delta, "y", dx), dyae), ti, n_t, 1)
+    fn, fxn, fyn = cip_advect_window_expr(
+        d_na[1:-1], gx_na, gy_na, None, None, dt, dx, ctx=vctx)
+    d_out[oc] = clamp_field(jnp.where(fluid, cs(fn), cs(dc[3:-3])), 0.0, 1.0)
+    dx_out[oc] = jnp.where(fluid, cs(fxn), cs(dxe[1:-1]))
+    dy_out[oc] = jnp.where(fluid, cs(fyn), cs(dye_[1:-1]))
+    dna_out[oc] = cs(d_na[2:-2])
+    dxna_out[oc] = cs(gx_na[1:-1])
+    dyna_out[oc] = cs(gy_na[1:-1])
 
 
 def main() -> None:
@@ -56,11 +94,17 @@ def main() -> None:
     enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--variant", required=True,
-                   choices=["mac-dye-cgrid", "cip-vel-cgrid"])
+                   choices=["mac-dye-cgrid", "cip-vel-cgrid",
+                            "cip-dye-storder", "cip-dye-tile"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--bc", type=int, default=2)
+    p.add_argument("--tiles", type=str, default="32,40,48",
+                   help="comma list of tile_x values for cip-dye-tile")
+    p.add_argument("--force-tile", type=int, default=None,
+                   help="pass tile_x to the variant arm (bypass the VMEM "
+                        "cost model — Mosaic may still refuse to compile)")
     args = p.parse_args()
 
     import fluid2d_tpu.ops.pallas_phases as ph
@@ -72,6 +116,36 @@ def main() -> None:
     cfg = SimConfig.create(resolution=args.res, re=1e6, scheme=scheme,
                            vor_eps=5.0, enable_dye=True)
 
+    def report(label, thunk):
+        try:
+            rate = thunk()
+            print(f"{args.variant} res={args.res} {scheme} {label:12s}: "
+                  f"{rate:8.2f} steps/s", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue the A/B
+            print(f"{args.variant} res={args.res} {scheme} {label:12s}: "
+                  f"FAILED ({type(e).__name__}: {e})", flush=True)
+
+    if args.variant == "cip-dye-storder":
+        # Arms differ only in where the dye body stores its outputs; the
+        # kernel resolves _cip_dye_body as a module global, so patch it.
+        orig_body = ph._cip_dye_body
+        report("early-store", lambda: time_full_run(cfg, scene, args.steps))
+        ph._cip_dye_body = _cip_dye_body_latestore
+        report("late-store", lambda: time_full_run(cfg, scene, args.steps))
+        ph._cip_dye_body = orig_body
+        return
+
+    if args.variant == "cip-dye-tile":
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_dye_phase_pallas
+        report("auto", lambda: time_full_run(cfg, scene, args.steps))
+        for t in (int(s) for s in args.tiles.split(",")):
+            mod.cip_dye_phase_pallas = functools.partial(orig, tile_x=t)
+            report(f"t={t}", lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_dye_phase_pallas = orig
+        return
+
     if args.variant == "mac-dye-cgrid":
         import fluid2d_tpu.models.mac as mod
 
@@ -82,14 +156,12 @@ def main() -> None:
         orig, attr = ph.cip_velocity_phase_pallas, "cip_velocity_phase_pallas"
 
     for label, flag in (("baseline", False), ("channel_grid", True)):
-        setattr(mod, attr, functools.partial(orig, channel_grid=flag))
-        try:
-            rate = time_full_run(cfg, scene, args.steps)
-            print(f"{args.variant} res={args.res} {scheme} {label:12s}: "
-                  f"{rate:8.2f} steps/s", flush=True)
-        except Exception as e:  # noqa: BLE001 — report and continue the A/B
-            print(f"{args.variant} res={args.res} {scheme} {label:12s}: "
-                  f"FAILED ({type(e).__name__}: {e})", flush=True)
+        kw = {"channel_grid": flag}
+        if flag and args.force_tile:
+            kw["tile_x"] = args.force_tile
+            label = f"cgrid t={args.force_tile}"
+        setattr(mod, attr, functools.partial(orig, **kw))
+        report(label, lambda: time_full_run(cfg, scene, args.steps))
     setattr(mod, attr, orig)
 
 
