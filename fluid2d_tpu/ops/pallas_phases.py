@@ -374,7 +374,7 @@ def cip_velocity_phase_pallas(
     v, p, v_alt, vx, vx_alt, vy, vy_alt, scene,
     re: float, dt: float, dx: float,
     *, tile_x: int | None = None, interpret: bool = False,
-    channel_grid: bool | None = None,
+    channel_grid: bool | None = None, dma_windows: bool | None = None,
 ):
     """Whole CIP velocity phase (BC + non-advection + grads + advection).
 
@@ -409,7 +409,19 @@ def cip_velocity_phase_pallas(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
             tile_x=tile_x, interpret=interpret,
         )
+    if dma_windows is True:
+        return _cip_velocity_phase_2d_dma(
+            v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
+        )
     if t is None:
+        # DMA-window fetch beats 9-block assembly when the lane width
+        # is 128-aligned (measured at res=4096, docs/BENCH.md);
+        # dma_windows=False forces the 9-block path.
+        if dma_windows is None and _pick_tile2d_dma(x_rows, y_cols) is not None:
+            return _cip_velocity_phase_2d_dma(
+                v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+                interpret=interpret,
+            )
         return _cip_velocity_phase_2d(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
         )
@@ -565,6 +577,222 @@ def _cip_velocity_phase_2d(
         in_specs=specs,
         out_specs=[_center2d_spec(t, ty, 2)] * 6,
         out_shape=[out_sd] * 6,
+        interpret=interpret,
+    )(*args)
+
+
+# --- DMA-window variant of the 2-D CIP velocity phase ------------------------
+#
+# The 9-block scheme assembles each input's halo window with ~12 VPU
+# passes (band concats + edge-fix selects) — measured as the res=4096
+# per-cell gap vs res=1600 (docs/BENCH.md "Large grids"). When the lane
+# width is 128-aligned (Y % 128 == 0, true at res=4096 but NOT at 1600),
+# the whole rectangular window [r0-8, r0+t+8) × [c0-128, c0+ty+128) can
+# instead be fetched with ONE strided make_async_copy per input into
+# VMEM scratch: zero assembly work on interior tiles. The inputs stay in
+# HBM (memory_space=ANY); windows are double-buffered across grid steps
+# (program g prefetches g+1's windows before waiting on its own, so the
+# DMA rides under the VPU compute exactly like the BlockSpec pipeline).
+# Global-edge tiles fix their window in place under @pl.when: the DMA
+# start offsets are clamped into the array, which shifts the fetched
+# window by one halo block; the fix shifts it back and replicates the
+# true edge row/column (raw clamp-to-edge, same as _ext2d). The two int8
+# inputs keep the 9-block path: int8 sublane shifts relayout at (8,·)
+# granularity, and they are 2 of 17 inputs.
+
+# f32 plane layout in the DMA window scratch: (array, first plane, lead).
+_VEL_DMA_PLANES = ((0, 2), (2, None), (3, 2), (5, 2), (7, 2), (9, 2), (11, 2), (13, 2))
+_VEL_DMA_NPLANES = 15
+
+
+def _dma_window_fixes(win_ref, slot, nplanes, ti, tj, n_tx, n_ty, rows, cols):
+    """Re-align a clamped-offset DMA window at global-edge tiles and
+    replicate the true edge row/column into the halo (raw clamp-to-edge,
+    matching :func:`_ext2d`). Per-plane loops keep the in-place shifts'
+    temporaries one (rows, cols) slab, not nplanes of them."""
+
+    @pl.when(ti == 0)
+    def _():
+        for k in range(nplanes):
+            body = win_ref[slot, k, : rows - _HB, :]
+            win_ref[slot, k, _HB:, :] = body
+            win_ref[slot, k, :_HB, :] = jnp.repeat(
+                win_ref[slot, k, _HB : _HB + 1, :], _HB, axis=0
+            )
+
+    @pl.when(ti == n_tx - 1)
+    def _():
+        for k in range(nplanes):
+            body = win_ref[slot, k, _HB:, :]
+            win_ref[slot, k, : rows - _HB, :] = body
+            win_ref[slot, k, rows - _HB :, :] = jnp.repeat(
+                win_ref[slot, k, rows - _HB - 1 : rows - _HB, :], _HB, axis=0
+            )
+
+    @pl.when(tj == 0)
+    def _():
+        for k in range(nplanes):
+            body = win_ref[slot, k, :, : cols - _HY]
+            win_ref[slot, k, :, _HY:] = body
+            win_ref[slot, k, :, :_HY] = jnp.repeat(
+                win_ref[slot, k, :, _HY : _HY + 1], _HY, axis=1
+            )
+
+    @pl.when(tj == n_ty - 1)
+    def _():
+        for k in range(nplanes):
+            body = win_ref[slot, k, :, _HY:]
+            win_ref[slot, k, :, : cols - _HY] = body
+            win_ref[slot, k, :, cols - _HY :] = jnp.repeat(
+                win_ref[slot, k, :, cols - _HY - 1 : cols - _HY], _HY, axis=1
+            )
+
+
+def _cip_velocity_kernel_2d_dma(
+    n_tx: int, n_ty: int, t: int, ty: int, x_rows: int, y_cols: int,
+    re: float, dt: float, dx: float,
+    *refs,
+):
+    it = iter(refs)
+    hbm = [next(it) for _ in range(8)]  # v, p, v_alt, vx, vx_alt, vy, vy_alt, const
+    code9 = [next(it) for _ in range(9)]
+    nw9 = [next(it) for _ in range(9)]
+    fluid_ref = next(it)
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out = (next(it) for _ in range(6))
+    win_ref, sems = next(it), next(it)
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    g = ti * n_ty + tj  # the last grid dim iterates minor
+    n_g = n_tx * n_ty
+    rows, cols = t + 2 * _HB, ty + 2 * _HY
+
+    def dma_list(k, s):
+        tik = k // n_ty
+        tjk = jax.lax.rem(k, n_ty)
+        # Clamp the window into the array; x_rows - rows is a multiple of
+        # _HB and y_cols - cols of _HY, so the offsets stay DMA-aligned.
+        rs = pl.multiple_of(jnp.clip(tik * t - _HB, 0, x_rows - rows), _HB)
+        cs = pl.multiple_of(jnp.clip(tjk * ty - _HY, 0, y_cols - cols), _HY)
+        ds_r, ds_c = pl.ds(rs, rows), pl.ds(cs, cols)
+        out = []
+        for a, (ref, (p0, lead)) in enumerate(zip(hbm, _VEL_DMA_PLANES)):
+            src = ref.at[ds_r, ds_c] if lead is None else ref.at[:, ds_r, ds_c]
+            dst = win_ref.at[s, p0] if lead is None else win_ref.at[s, p0 : p0 + lead]
+            out.append(pltpu.make_async_copy(src, dst, sems.at[s, a]))
+        return out
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for d in dma_list(0, 0):
+            d.start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        for d in dma_list(g + 1, jax.lax.rem(g + 1, 2)):
+            d.start()
+
+    for d in dma_list(g, slot):
+        d.wait()
+
+    _dma_window_fixes(win_ref, slot, _VEL_DMA_NPLANES, ti, tj, n_tx, n_ty, rows, cols)
+
+    def w(p0, lead, hx):
+        r0, r1 = _HB - hx, _HB + t + hx
+        if lead is None:
+            return win_ref[slot, p0, r0:r1, :]
+        return win_ref[slot, p0 : p0 + lead, r0:r1, :]
+
+    e2i = lambda r9, hx: _ext2d(  # noqa: E731
+        [r[:].astype(jnp.int32) for r in r9], ti, tj, n_tx, n_ty, hx
+    )
+    ve, pe, vae = w(0, 2, 5), w(2, None, 3), w(3, 2, 2)
+    vxe, vxae, vye, vyae = w(5, 2, 1), w(7, 2, 1), w(9, 2, 1), w(11, 2, 1)
+    conste = w(13, 2, 3)
+    codee = e2i(code9, 3)
+    nwe = e2i(nw9, 2)
+    fluid = fluid_ref[:] != 0
+
+    cs_ = lambda a: a[..., :, _HY : _HY + ty]  # noqa: E731
+    _cip_velocity_body(
+        ti, n_tx, re, dt, dx,
+        ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
+        v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out, cs_,
+    )
+
+
+def _pick_tile2d_dma(x: int, y: int):
+    """(t, ty) for the DMA-window velocity kernel. Requirements beyond
+    :func:`pick_tile2d`: the whole window must fit inside the array
+    (offset clamping needs y ≥ ty + 2·_HY and x ≥ t + 2·_HB) and stay
+    DMA-aligned (y % _HY == 0). VMEM model: double-buffered (nplanes,
+    rows, cols) windows + output blocks + the Mosaic expression stack."""
+    if y % _HY or x % _HB:
+        return None
+
+    def cost(t: int, ty: int) -> int:
+        rows, cols = t + 2 * _HB, ty + 2 * _HY
+        win = 2 * _VEL_DMA_NPLANES * rows * cols
+        i8_blocks = 2 * 2 * (t * ty + 2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY) // 4
+        outs = 2 * 13 * t * ty
+        stack = 60 * t * cols
+        return 4 * (win + i8_blocks + outs + stack)
+
+    tile = pick_tile2d(x, y, cost, halo_x=5)
+    if tile is None:
+        return None
+    t, ty = tile
+    if y < ty + 2 * _HY or x < t + 2 * _HB:
+        return None
+    return t, ty
+
+
+def _cip_velocity_phase_2d_dma(
+    v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+    *, tile: tuple[int, int] | None = None, interpret: bool = False,
+):
+    x_rows, y_cols = p.shape
+    tile = tile or _pick_tile2d_dma(x_rows, y_cols)
+    if tile is None:
+        msg = f"no valid DMA-window tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
+    t, ty = tile
+    n_tx, n_ty = x_rows // t, y_cols // ty
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    h9 = lambda: _halo9_specs(t, ty, n_tx, n_ty, None)  # noqa: E731
+    specs = [any_spec] * 8 + h9() + h9() + [_center2d_spec(t, ty, None)]
+    args = (
+        [v, p, v_alt, vx, vx_alt, vy, vy_alt, scene.bc_const]
+        + [scene.vbc_code] * 9 + [scene.not_wall8] * 9 + [scene.fluid8]
+    )
+    rows, cols = t + 2 * _HB, ty + 2 * _HY
+    n_tiles = n_tx * n_ty
+    log_traffic(
+        "cip_velocity_2d",
+        _VEL_DMA_NPLANES * rows * cols * 4 * n_tiles
+        + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 12 * center_bytes(x_rows, y_cols, None),
+    )
+
+    kernel = functools.partial(
+        _cip_velocity_kernel_2d_dma, n_tx, n_ty, t, ty, x_rows, y_cols, re, dt, dx
+    )
+    out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tx, n_ty),
+        in_specs=specs,
+        out_specs=[_center2d_spec(t, ty, 2)] * 6,
+        out_shape=[out_sd] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, len(_VEL_DMA_PLANES))),
+        ],
         interpret=interpret,
     )(*args)
 

@@ -1,0 +1,78 @@
+"""Validate the DMA-window CIP velocity kernel against the 9-block path.
+
+The DMA variant (`_cip_velocity_phase_2d_dma`) fetches each input's halo
+window with one strided async copy instead of assembling it from nine
+BlockSpec blocks. Both paths feed the SAME `_cip_velocity_body`, so with
+the same (t, ty) tile the outputs must agree to FP32 round-off (the
+window values are identical; only their VMEM provenance differs — exact
+equality is not guaranteed because Mosaic may contract FMAs differently
+across the two programs). The 1-D row-tiled kernel is compared as a
+second, independently-scheduled witness.
+
+Run ON THE TPU (interpret mode takes hours at any useful grid):
+  python scripts/dma_window_check.py [--x 256] [--y 512] [--t 16] [--ty 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--x", type=int, default=256)
+    p.add_argument("--y", type=int, default=512)
+    p.add_argument("--t", type=int, default=16)
+    p.add_argument("--ty", type=int, default=128)
+    args = p.parse_args()
+
+    import jax
+
+    import fluid2d_tpu.ops.pallas_phases as ph
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    # Scene 2 obstacle geometry scaled to the requested grid: build at
+    # res=y then crop rows to x (keeps inflow/outflow columns intact).
+    bc_const, mask, bc_dye = build_scene_arrays(2, args.y)
+    scene = compile_scene(bc_const[: args.x], mask[: args.x], bc_dye[: args.x])
+
+    rng = np.random.default_rng(7)
+    shape = (args.x, args.y)
+    f32 = lambda *s: rng.standard_normal(s, dtype=np.float32)  # noqa: E731
+    v, v_alt = f32(2, *shape), f32(2, *shape)
+    vx, vx_alt = f32(2, *shape) * 0.1, f32(2, *shape) * 0.1
+    vy, vy_alt = f32(2, *shape) * 0.1, f32(2, *shape) * 0.1
+    pr = f32(*shape)
+    re, dt, dx = 1000.0, 0.05 / args.y, 1.0 / args.y
+
+    def run(fn, **kw):
+        out = jax.jit(lambda *a: fn(*a, re, dt, dx, **kw))(
+            v, pr, v_alt, vx, vx_alt, vy, vy_alt, scene
+        )
+        return [np.asarray(o) for o in out]
+
+    ref9 = run(ph._cip_velocity_phase_2d)
+    dma = run(ph._cip_velocity_phase_2d_dma, tile=(args.t, args.ty))
+    oned = run(ph.cip_velocity_phase_pallas, dma_windows=False)
+
+    names = ["v", "vx", "vy", "v_na", "vx_na", "vy_na"]
+    for name, a, b, c in zip(names, ref9, dma, oned):
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=0,
+                                   err_msg=f"dma vs 9-block: {name}")
+        np.testing.assert_allclose(b, c, atol=1e-6 * scale, rtol=0,
+                                   err_msg=f"dma vs 1-D: {name}")
+        exact = "bitwise" if (a == b).all() else f"max|Δ|={np.abs(a - b).max():.2e}"
+        print(f"  {name:6s}: dma == 9-block ({exact}), == 1-D row-tiled")
+    print(f"DMA-window kernel OK on ({args.x}, {args.y}) tile=({args.t},{args.ty})")
+
+
+if __name__ == "__main__":
+    main()

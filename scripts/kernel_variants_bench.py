@@ -95,7 +95,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--variant", required=True,
                    choices=["mac-dye-cgrid", "cip-vel-cgrid",
-                            "cip-dye-storder", "cip-dye-tile"])
+                            "cip-dye-storder", "cip-dye-tile", "cip-vel-dma"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
@@ -144,6 +144,18 @@ def main() -> None:
             mod.cip_dye_phase_pallas = functools.partial(orig, tile_x=t)
             report(f"t={t}", lambda: time_full_run(cfg, scene, args.steps))
         mod.cip_dye_phase_pallas = orig
+        return
+
+    if args.variant == "cip-vel-dma":
+        # DMA-window vs 9-block window assembly in the 2-D velocity
+        # kernel (only dispatched at 128-aligned lane widths, res=4096).
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_velocity_phase_pallas
+        for label, flag in (("9-block", False), ("dma-window", True)):
+            mod.cip_velocity_phase_pallas = functools.partial(orig, dma_windows=flag)
+            report(label, lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_velocity_phase_pallas = orig
         return
 
     if args.variant == "mac-dye-cgrid":

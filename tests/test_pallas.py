@@ -246,6 +246,56 @@ def test_pick_tile2d_alignment():
     assert pick_tile2d(4000, 2000, cheap) is None
 
 
+def test_pick_tile2d_dma_constraints():
+    """The DMA-window velocity kernel needs 128-aligned lane widths and a
+    window that fits inside the array (offset clamping), plus the usual
+    (8, 128) tile alignment. On-TPU equivalence + perf:
+    scripts/dma_window_check.py / scripts/dma_window_bench.py."""
+    from fluid2d_tpu.ops.pallas_phases import _pick_tile2d_dma
+    from fluid2d_tpu.ops.pallas_stencil import _HB, _HY
+
+    tile = _pick_tile2d_dma(8192, 4096)  # BASELINE config #5
+    assert tile is not None
+    t, ty = tile
+    assert 8192 % t == 0 and t % 8 == 0
+    assert 4096 % ty == 0 and ty % 128 == 0
+    assert 4096 >= ty + 2 * _HY and 8192 >= t + 2 * _HB
+
+    assert _pick_tile2d_dma(3200, 1600) is None  # lane width not 128-aligned
+    assert _pick_tile2d_dma(512, 256) is None  # window cannot fit (256 < ty+256)
+
+
+def test_cip_velocity_dma_window_matches_9block():
+    """The DMA-window 2-D velocity kernel (one strided async copy per
+    input into VMEM scratch, double-buffered across grid steps) is
+    bit-identical to the 9-block BlockSpec-assembly kernel: both feed
+    the same `_cip_velocity_body` with the same window values. Smallest
+    feasible grid (24, 384): 3×3 tiles of (8, 128), so every edge-fix
+    branch (clamped-offset realignment + edge replication) executes,
+    including the exact-fit lane case y == ty + 2·_HY. On-TPU witness
+    at (256, 512): scripts/dma_window_check.py (also bitwise)."""
+    import fluid2d_tpu.ops.pallas_phases as ph
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    x, y = 24, 384
+    bc_const, mask, bc_dye = build_scene_arrays(2, y)
+    scene = compile_scene(bc_const[:x], mask[:x], bc_dye[:x])
+    rng = np.random.default_rng(7)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32))  # noqa: E731
+    v, va = f32(2, x, y), f32(2, x, y)
+    vx, vxa, vy, vya = (f32(2, x, y) * 0.1 for _ in range(4))
+    pr = f32(x, y)
+    re, dt, dx = 1000.0, 0.05 / y, 1.0 / y
+
+    a = ph._cip_velocity_phase_2d(v, pr, va, vx, vxa, vy, vya, scene,
+                                  re, dt, dx, interpret=True)
+    b = ph._cip_velocity_phase_2d_dma(v, pr, va, vx, vxa, vy, vya, scene,
+                                      re, dt, dx, tile=(8, 128), interpret=True)
+    for n, p_, q in zip(("v", "vx", "vy", "vna", "vxna", "vyna"), a, b):
+        np.testing.assert_array_equal(np.asarray(p_), np.asarray(q), err_msg=n)
+
+
 @pytest.mark.parametrize("scheme", ["cip", "upwind", "kk"])
 @pytest.mark.parametrize("num", [1, 2])
 def test_full_step_pallas_interpret_matches_xla(scheme, num):
