@@ -46,11 +46,16 @@ from fluid2d_tpu.ops.pallas_stencil import (
     _ext2d,
     _halo9_specs,
     _LH2,
+    _center_spec_cgrid2,
     _halo_triple_specs,
     _halo_triple_specs_cgrid,
+    _halo_triple_specs_cgrid2,
     _reclamp,
     _sy,
     _vmem_tile,
+    _wext,
+    _win_spec,
+    _win_spec_cgrid,
     center_bytes,
     cip_advect_window_expr,
     cip_velocity_ctx,
@@ -252,6 +257,35 @@ def _cip_velocity_kernel(
     )
 
 
+def _cip_velocity_kernel_win(
+    n_t: int, t: int, re: float, dt: float, dx: float,
+    v_w, p_w, va_w, vx_w, vxa_w, vy_w, vya_w, const_w,
+    code_c, code_p8, code_n8, nw_c, nw_p8, nw_n8, fluid_ref,
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out,
+):
+    """The folded 1-D velocity kernel with element-offset WINDOW inputs:
+    each f32 input is one (lead, t+16, Y) block instead of a halo triple
+    (see the "single-window input fetch" note in pallas_stencil.py). The
+    int8 codes/masks keep the triple path."""
+    ti = pl.program_id(0)
+    ve = _wext(v_w[:], ti, n_t, t, 5)
+    pe = _wext(p_w[:], ti, n_t, t, 3)
+    vae = _wext(va_w[:], ti, n_t, t, 2)
+    vxe = _wext(vx_w[:], ti, n_t, t, 1)
+    vxae = _wext(vxa_w[:], ti, n_t, t, 1)
+    vye = _wext(vy_w[:], ti, n_t, t, 1)
+    vyae = _wext(vya_w[:], ti, n_t, t, 1)
+    conste = _wext(const_w[:], ti, n_t, t, 3)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 3).astype(jnp.int32)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+    _cip_velocity_body(
+        ti, n_t, re, dt, dx,
+        ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
+        v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out, lambda a: a,
+    )
+
+
 def _cip_velocity_kernel_cgrid(
     n_t: int, re: float, dt: float, dx: float,
     v_c, v_p8, v_n8, p_c, p_p8, p_n8, va_c, va_p8, va_n8,
@@ -375,6 +409,7 @@ def cip_velocity_phase_pallas(
     re: float, dt: float, dx: float,
     *, tile_x: int | None = None, interpret: bool = False,
     channel_grid: bool | None = None, dma_windows: bool | None = None,
+    window_inputs: bool | None = None,
 ):
     """Whole CIP velocity phase (BC + non-advection + grads + advection).
 
@@ -427,15 +462,32 @@ def cip_velocity_phase_pallas(
         )
     n_t = x_rows // t
 
-    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
-    specs = (
-        h2(2) + h2(None) + h2(2) + h2(2) + h2(2) + h2(2) + h2(2)
-        + h2(None) + h2(2) + h2(None) + [_center_spec(t, y_cols, None)]
-    )
-    args = (
-        [v] * 3 + [p] * 3 + [v_alt] * 3 + [vx] * 3 + [vx_alt] * 3 + [vy] * 3 + [vy_alt] * 3
-        + [scene.vbc_code] * 3 + [scene.bc_const] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
-    )
+    if window_inputs is None:
+        window_inputs = False  # see the measured note in cip_dye_phase_pallas
+    window_inputs = window_inputs and x_rows >= t + 2 * _HB
+    if window_inputs:
+        w2 = _win_spec(t, y_cols, n_t, 2)
+        i8 = lambda: _halo_triple_specs(t, y_cols, n_t, None)  # noqa: E731
+        specs = (
+            [w2, _win_spec(t, y_cols, n_t, None), w2, w2, w2, w2, w2, w2]
+            + i8() + i8() + [_center_spec(t, y_cols, None)]
+        )
+        args = (
+            [v, p, v_alt, vx, vx_alt, vy, vy_alt, scene.bc_const]
+            + [scene.vbc_code] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
+        )
+    else:
+        h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+        specs = (
+            h2(2) + h2(None) + h2(2) + h2(2) + h2(2) + h2(2) + h2(2)
+            + h2(None) + h2(2) + h2(None) + [_center_spec(t, y_cols, None)]
+        )
+        args = (
+            [v] * 3 + [p] * 3 + [v_alt] * 3 + [vx] * 3 + [vx_alt] * 3
+            + [vy] * 3 + [vy_alt] * 3
+            + [scene.vbc_code] * 3 + [scene.bc_const] * 3
+            + [scene.not_wall8] * 3 + [scene.fluid8]
+        )
     log_traffic(
         "cip_velocity",
         15 * triple_bytes(x_rows, y_cols, t, None)
@@ -444,7 +496,10 @@ def cip_velocity_phase_pallas(
         + 12 * center_bytes(x_rows, y_cols, None),
     )
 
-    kernel = functools.partial(_cip_velocity_kernel, n_t, re, dt, dx)
+    if window_inputs:
+        kernel = functools.partial(_cip_velocity_kernel_win, n_t, t, re, dt, dx)
+    else:
+        kernel = functools.partial(_cip_velocity_kernel, n_t, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
 
     return pl.pallas_call(
@@ -902,6 +957,210 @@ def _cip_dye_kernel(
                   d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, lambda a: a)
 
 
+def _cip_dye_kernel_win(
+    n_t: int, t: int, re: float, dt: float, dx: float,
+    d_w, da_w, dx_w, dxa_w, dy_w, dya_w, vel_w, bcd_w,
+    inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
+    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
+    ctx_ref,
+):
+    """The channel-grid dye kernel with element-offset WINDOW inputs:
+    each f32 input is one (1|2, t+16, Y) block instead of a halo triple
+    (one DMA stream per input instead of three — see the
+    "single-window input fetch" note in pallas_stencil.py). The int8
+    masks keep the triple path: their bytes are marginal and int8 blocks
+    relayout at (32, ·) granularity."""
+    ti = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        vele = _wext(vel_w[:], ti, n_t, t, 1)
+        ctx_store(ctx_ref, vele[0], vele[1], dt, dx)
+
+    vctx = ctx_load(ctx_ref)
+
+    wins = {"d": d_w, "da": da_w, "dx": dx_w, "dxa": dxa_w,
+            "dy": dy_w, "dya": dya_w, "bcd": bcd_w}
+
+    def win(key, hx):
+        return _wext(wins[key][0], ti, n_t, t, hx)
+
+    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+
+    _cip_dye_body(ti, n_t, re, dt, dx, win, vctx, inflowe, nwe, fluid,
+                  d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, lambda a: a)
+
+
+# --- sliding-window variant of the 1-D channel-grid dye kernel ----------------
+#
+# At res=4096 the dye phase's t=8 row tiles re-fetch a (t+16)-row window
+# for 8 output rows — a 3× halo amplification on 21 per-channel triple
+# planes, and the per-kernel trace pins the phase at its operand
+# geometry's DMA ceiling (~650 GB/s measured by the no-op probes), so
+# shipped BYTES are the only lever (docs/BENCH.md "res=4096 per-kernel
+# trace"). The sliding kernel makes the grid channel-MAJOR so each
+# channel's row tiles stream sequentially, keeps every f32 input's
+# current window in double-buffered VMEM scratch, and per interior tile
+# fetches only the t NEW rows with one strided make_async_copy per
+# input — the 16 overlap rows are copied forward from the previous
+# program's slot. Amplification drops to ~(x+16)/x ≈ 1. Sweep-start
+# tiles (ti==0) fetch the full window and realign it in place; the last
+# tile realigns its clamped tail — both under pl.when, zero interior
+# cost (the in-place pattern of _dma_window_fixes). Needs a 128-aligned
+# lane width for the manual row-window DMAs (true at 4096, not 1600 —
+# scripts/dma_rowwin_1600_check.py).
+
+# win_ref plane layout: 7 per-channel arrays + the 2-channel velocity.
+_DYE_SLIDE_NPLANES = 9
+
+
+def _cip_dye_kernel_slide(
+    n_t: int, t: int, x_rows: int, re: float, dt: float, dx: float,
+    d_h, da_h, dx_h, dxa_h, dy_h, dya_h, bcd_h, vel_h,
+    inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
+    d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
+    win_ref, sems,
+):
+    c = pl.program_id(0)
+    ti = pl.program_id(1)
+    g = c * n_t + ti
+    slot = jax.lax.rem(g, 2)
+    rows = t + 2 * _HB
+    per_ch = (d_h, da_h, dx_h, dxa_h, dy_h, dya_h, bcd_h)
+
+    def full_dmas(ci, s):
+        # The whole clamped window rows [0, t+16) — sweep starts only.
+        out = []
+        for k, ref in enumerate(per_ch):
+            out.append(pltpu.make_async_copy(
+                ref.at[pl.ds(ci, 1), pl.ds(0, rows), :],
+                win_ref.at[s, pl.ds(k, 1)], sems.at[s, k]))
+        out.append(pltpu.make_async_copy(
+            vel_h.at[:, pl.ds(0, rows), :],
+            win_ref.at[s, pl.ds(7, 2)], sems.at[s, 7]))
+        return out
+
+    def tail_dmas(ci, tin, s):
+        # The t NEW rows [tin·t+8, tin·t+t+8) (start clamped to x−t at the
+        # last tile; realigned there). Multiply by 8 LAST for the prover.
+        start = jnp.minimum(tin * (t // _HB) + 1, (x_rows - t) // _HB) * _HB
+        ds = pl.ds(start, t)
+        dst_rows = pl.ds(2 * _HB, t)
+        out = []
+        for k, ref in enumerate(per_ch):
+            out.append(pltpu.make_async_copy(
+                ref.at[pl.ds(ci, 1), ds, :],
+                win_ref.at[s, pl.ds(k, 1), dst_rows], sems.at[s, k]))
+        out.append(pltpu.make_async_copy(
+            vel_h.at[:, ds, :],
+            win_ref.at[s, pl.ds(7, 2), dst_rows], sems.at[s, 7]))
+        return out
+
+    @pl.when(ti == 0)
+    def _():
+        for d in full_dmas(c, slot):
+            d.start()
+        for d in full_dmas(c, slot):
+            d.wait()
+        # Realign: fetched rows [0, t+16) → true window [-8, t+8) with the
+        # replicated edge row (clamp-to-edge on raw inputs).
+        body = win_ref[slot, :, : rows - _HB, :]
+        win_ref[slot, :, _HB:, :] = body
+        win_ref[slot, :, :_HB, :] = jnp.repeat(
+            win_ref[slot, :, _HB : _HB + 1, :], _HB, axis=1
+        )
+
+    @pl.when(ti > 0)
+    def _():
+        for d in tail_dmas(c, ti, slot):
+            d.wait()
+        # Overlap rows [ti·t−8, ti·t+8) come from the previous window
+        # (its last 16 rows) — BEFORE the prefetch below overwrites that
+        # slot's tail region.
+        win_ref[slot, :, : 2 * _HB, :] = win_ref[1 - slot, :, t : t + 2 * _HB, :]
+
+    @pl.when(ti + 1 < n_t)
+    def _():
+        for d in tail_dmas(c, ti + 1, 1 - slot):
+            d.start()
+
+    @pl.when((ti == n_t - 1) & (ti > 0))
+    def _():
+        # The last tail fetched rows [x−t, x); true tail is rows
+        # [x−t+8, x) plus the replicated last row. At t=8 the shift is
+        # empty (the head copy already holds rows [x−16, x)) and only
+        # the replication remains; either way row t+_HB−1 is row x−1.
+        if t > _HB:
+            win_ref[slot, :, 2 * _HB : t + _HB, :] = win_ref[slot, :, 3 * _HB :, :]
+        win_ref[slot, :, t + _HB :, :] = jnp.repeat(
+            win_ref[slot, :, t + _HB - 1 : t + _HB, :], _HB, axis=1
+        )
+
+    keys = {"d": 0, "da": 1, "dx": 2, "dxa": 3, "dy": 4, "dya": 5, "bcd": 6}
+
+    def win(key, hx):
+        k = keys[key]
+        return win_ref[slot, k, _HB - hx : _HB + t + hx, :]
+
+    vele = win_ref[slot, 7:9, _HB - 1 : _HB + t + 1, :]
+    vctx = cip_velocity_ctx(vele[0], vele[1], dt, dx)
+
+    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+
+    _cip_dye_body(ti, n_t, re, dt, dx, win, vctx, inflowe, nwe, fluid,
+                  d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, lambda a: a)
+
+
+def _cip_dye_phase_slide(
+    dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
+    *, tile_x: int, interpret: bool = False,
+):
+    chans, x_rows, y_cols = dye.shape
+    t = tile_x
+    n_t = x_rows // t
+    rows = t + 2 * _HB
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    i8 = lambda: _halo_triple_specs_cgrid2(t, y_cols, n_t, None)  # noqa: E731
+    specs = [any_spec] * 8 + i8() + i8() + [_center_spec_cgrid2(t, y_cols, None)]
+    args = (
+        [dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, scene.bc_dye, vel]
+        + [scene.inflow8] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
+    )
+    # Bytes: per-channel planes slide (one full window per sweep + t new
+    # rows per interior tile ≈ 1× amplification); vel re-slides per
+    # channel sweep; int8 masks keep triple amplification × chans sweeps.
+    slide_rows = rows + (n_t - 1) * t
+    log_traffic(
+        "cip_dye",
+        (7 * chans + 2 * chans) * slide_rows * y_cols * 4
+        + 2 * chans * (x_rows + 2 * _HB * n_t) * y_cols
+        + chans * x_rows * y_cols
+        + 6 * chans * center_bytes(x_rows, y_cols, None),
+    )
+
+    kernel = functools.partial(_cip_dye_kernel_slide, n_t, t, x_rows, re, dt, dx)
+    out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(chans, n_t),
+        in_specs=specs,
+        out_specs=[_center_spec_cgrid2(t, y_cols, "c")] * 6,
+        out_shape=[out_sd] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, _DYE_SLIDE_NPLANES, rows, y_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
 def _cip_dye_kernel_2d(
     n_tx: int, n_ty: int, ty: int, chans: int, re: float, dt: float, dx: float,
     *refs,
@@ -941,7 +1200,8 @@ def _cip_dye_kernel_2d(
 def cip_dye_phase_pallas(
     dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene,
     re: float, dt: float, dx: float,
-    *, tile_x: int | None = None, interpret: bool = False,
+    *, tile_x: int | None = None, window_inputs: bool | None = None,
+    sliding: bool | None = None, interpret: bool = False,
 ):
     """Whole CIP dye phase (BC + diffusion + grads + advection + clamp).
 
@@ -980,16 +1240,48 @@ def cip_dye_phase_pallas(
         )
     n_t = x_rows // t
 
-    h2 = lambda lead: _halo_triple_specs_cgrid(t, y_cols, n_t, lead)  # noqa: E731
-    specs = (
-        h2("c") + h2("c") + h2("c") + h2("c") + h2("c") + h2("c")
-        + h2(2) + h2("c") + h2(None) + h2(None) + [_center_spec_cgrid(t, y_cols, None)]
-    )
-    args = (
-        [dye] * 3 + [dye_alt] * 3 + [dyex] * 3 + [dyex_alt] * 3 + [dyey] * 3 + [dyey_alt] * 3
-        + [vel] * 3 + [scene.bc_dye] * 3 + [scene.inflow8] * 3 + [scene.not_wall8] * 3
-        + [scene.fluid8]
-    )
+    # Sliding-window fetch (manual DMAs: needs a 128-aligned lane width
+    # and the whole window inside the array). Opt-in pending measurement.
+    can_slide = y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+    if sliding and can_slide:
+        return _cip_dye_phase_slide(
+            dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
+            tile_x=t, interpret=interpret,
+        )
+
+    # Window fetch needs the whole (t+16, Y) window inside the array.
+    # Measured at res=1600: the fetch itself is 24% faster (983 vs
+    # 752 GB/s no-op probe) but _wext's edge-realignment selects tip the
+    # kernel VPU-bound — end-to-end 244 vs 248 steps/s — so triples stay
+    # the default (scripts/kernel_variants_bench.py --variant cip-dye-win).
+    if window_inputs is None:
+        window_inputs = False
+    window_inputs = window_inputs and x_rows >= t + 2 * _HB
+    if window_inputs:
+        wc = _win_spec_cgrid(t, y_cols, n_t, "c")
+        specs = (
+            [wc] * 6 + [_win_spec_cgrid(t, y_cols, n_t, 2)] + [wc]
+            + _halo_triple_specs_cgrid(t, y_cols, n_t, None)
+            + _halo_triple_specs_cgrid(t, y_cols, n_t, None)
+            + [_center_spec_cgrid(t, y_cols, None)]
+        )
+        args = (
+            [dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene.bc_dye]
+            + [scene.inflow8] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
+        )
+    else:
+        h2 = lambda lead: _halo_triple_specs_cgrid(t, y_cols, n_t, lead)  # noqa: E731
+        specs = (
+            h2("c") + h2("c") + h2("c") + h2("c") + h2("c") + h2("c")
+            + h2(2) + h2("c") + h2(None) + h2(None)
+            + [_center_spec_cgrid(t, y_cols, None)]
+        )
+        args = (
+            [dye] * 3 + [dye_alt] * 3 + [dyex] * 3 + [dyex_alt] * 3
+            + [dyey] * 3 + [dyey_alt] * 3
+            + [vel] * 3 + [scene.bc_dye] * 3 + [scene.inflow8] * 3
+            + [scene.not_wall8] * 3 + [scene.fluid8]
+        )
     # Same DMA totals as a channel-folded kernel: per-channel inputs
     # stream once per (tile, channel) pair = once over the array; the
     # channel-independent blocks are fetched once per tile (constant
@@ -1002,7 +1294,10 @@ def cip_dye_phase_pallas(
         + 6 * chans * center_bytes(x_rows, y_cols, None),
     )
 
-    kernel = functools.partial(_cip_dye_kernel, n_t, re, dt, dx)
+    if window_inputs:
+        kernel = functools.partial(_cip_dye_kernel_win, n_t, t, re, dt, dx)
+    else:
+        kernel = functools.partial(_cip_dye_kernel, n_t, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
 
     return pl.pallas_call(

@@ -267,6 +267,148 @@ def _center_spec_cgrid(t: int, y: int, lead):
     return pl.BlockSpec((lead, t, y), lambda i, c: (0, i, 0), memory_space=pltpu.VMEM)
 
 
+# --- channel-MAJOR grid specs (grid = (chans, n_t)) ----------------------------
+#
+# For the sliding-window dye kernel the ROW index must be minor so each
+# channel's rows stream sequentially (the window slides down the grid);
+# these mirror the cgrid specs with the grid-argument order swapped.
+
+
+def _halo_triple_specs_cgrid2(t: int, y: int, n_t: int, lead):
+    tb = t // _HB
+
+    def mk(rows: int, rmap):
+        if lead == "c":
+            return pl.BlockSpec(
+                (1, rows, y), lambda c, i, r=rmap: (c, r(i), 0), memory_space=pltpu.VMEM
+            )
+        if lead is None:
+            return pl.BlockSpec(
+                (rows, y), lambda c, i, r=rmap: (r(i), 0), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec(
+            (lead, rows, y), lambda c, i, r=rmap: (0, r(i), 0), memory_space=pltpu.VMEM
+        )
+
+    return [
+        mk(t, lambda i: i),
+        mk(_HB, lambda i: jnp.maximum(i * tb - 1, 0)),
+        mk(_HB, lambda i: jnp.minimum(i * tb + tb, n_t * tb - 1)),
+    ]
+
+
+def _center_spec_cgrid2(t: int, y: int, lead):
+    if lead == "c":
+        return pl.BlockSpec((1, t, y), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
+    if lead is None:
+        return pl.BlockSpec((t, y), lambda c, i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((lead, t, y), lambda c, i: (0, i, 0), memory_space=pltpu.VMEM)
+
+
+# --- single-window input fetch (element-offset BlockSpecs) ---------------------
+#
+# The DMA-geometry sweep (scripts/dma_geometry_sweep.py; docs/BENCH.md
+# "The hidden 26%") measured that aggregate DMA throughput degrades with
+# concurrent stream count: at the dye kernel's stream mix, fetching each
+# input as ONE (t+2·8, Y) element-offset window instead of a
+# (cur, prev8, next8) triple ran 983 GB/s vs the triples' 752 at
+# res=1600 — same bytes, one stream per input instead of three, and a
+# full-lane-width window is one CONTIGUOUS HBM region. The window's
+# start offset clamps into the array at the two grid-edge tiles, which
+# shifts the fetched rows by 8; :func:`_wext` realigns as a VALUE —
+# in-place fixes on input refs leak into neighbors' overlapping windows
+# (demonstrated in interpret mode) — and replicates the true edge row
+# (raw clamp-to-edge, matching :func:`_ext`).
+
+
+def _win_row0(i, t: int, x: int, h: int):
+    # Multiply by h LAST: Mosaic's divisibility prover must see that the
+    # element offset is a multiple of the sublane tiling (8), and it
+    # cannot see through clip(i·t−h, …).
+    return jnp.clip(i * (t // h) - 1, 0, (x - t) // h - 2) * h
+
+
+def _win_spec(t: int, y: int, n_t: int, lead: int | None, h: int = _HB):
+    """ONE (lead?, t+2h, y) element-offset window block; grid (n_t,)."""
+    rows, x = t + 2 * h, n_t * t
+    if lead is None:
+        return pl.BlockSpec(
+            (pl.Element(rows), pl.Element(y)),
+            lambda i: (_win_row0(i, t, x, h), 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (pl.Element(lead), pl.Element(rows), pl.Element(y)),
+        lambda i: (0, _win_row0(i, t, x, h), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _win_spec_cgrid(t: int, y: int, n_t: int, lead, h: int = _HB):
+    """Window spec for the (n_t, chans) channel grid. lead "c" → the
+    block's leading axis is the channel program index; int/None leads are
+    channel-independent (constant index across the minor c steps → the
+    pipeline skips their re-fetch)."""
+    rows, x = t + 2 * h, n_t * t
+    if lead == "c":
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(rows), pl.Element(y)),
+            lambda i, c: (c, _win_row0(i, t, x, h), 0),
+            memory_space=pltpu.VMEM,
+        )
+    if lead is None:
+        return pl.BlockSpec(
+            (pl.Element(rows), pl.Element(y)),
+            lambda i, c: (_win_row0(i, t, x, h), 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (pl.Element(lead), pl.Element(rows), pl.Element(y)),
+        lambda i, c: (0, _win_row0(i, t, x, h), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _wext(F, ti, n_t: int, t: int, hx: int, h: int = _HB):
+    """Realigned (…, t+2hx, y) window from a clamped-offset fetch F.
+
+    F holds rows [clip(i·t−h, 0, x−t−2h), +t+2h); the result covers
+    [i·t−hx, i·t+t+hx) with global clamp-to-edge — drop-in for
+    :func:`_ext`. Interior tiles are a static slice; the two edge tiles
+    pay one selected shifted slice (their clamped fetch is offset by h
+    rows) plus the edge-row replication.
+    """
+    row_ax = F.ndim - 2
+    first = ti == 0
+    last = ti == n_t - 1
+
+    def rep(sl, k):
+        return jnp.repeat(sl, k, axis=row_ax)
+
+    mid = jnp.where(
+        first,
+        F[..., 0:t, :],
+        jnp.where(last, F[..., 2 * h : 2 * h + t, :], F[..., h : h + t, :]),
+    )
+    if hx == 0:
+        return mid
+    top = jnp.where(
+        first,
+        rep(F[..., :1, :], hx),
+        jnp.where(last, F[..., 2 * h - hx : 2 * h, :], F[..., h - hx : h, :]),
+    )
+    bot = jnp.where(
+        first,
+        F[..., t : t + hx, :],
+        jnp.where(
+            last,
+            rep(F[..., t + 2 * h - 1 : t + 2 * h, :], hx),
+            F[..., h + t : h + t + hx, :],
+        ),
+    )
+    return jnp.concatenate([top, mid, bot], axis=row_ax)
+
+
 # --- 2-D (row + lane) tiling -------------------------------------------------
 #
 # For lane widths where (t, Y) row-tiles no longer fit VMEM, the grid is
@@ -696,7 +838,6 @@ def _sor_kernel(
 ):
     ti = pl.program_id(0)
     t = p_c.shape[0]
-    y = p_c.shape[1]
     hh = 3 * n_iters  # each iteration consumes 3 halo rows: BC + odd + even
 
     # Extended row windows (output rows are [0, t); per iteration the even
@@ -709,6 +850,41 @@ def _sor_kernel(
     # int8 comparisons aren't universally supported by the VPU — widen.
     codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, hh - 1).astype(jnp.int32)
     fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, hh - 2).astype(jnp.int32)
+    _sor_core(ti, n_t, t, omega, dt, dx, v_limit, n_iters,
+              pe, pae, ue, we, codee, fle, pn_ref, pc_ref, *maybe_vlim_ref)
+
+
+def _sor_kernel_win(
+    n_t: int, t: int, omega: float, dt: float, dx: float,
+    v_limit: float | None, n_iters: int,
+    p_w, pa_w, u_w, w_w,
+    code_c, code_p8, code_n8, fl_c, fl_p8, fl_n8,
+    pn_ref, pc_ref, *maybe_vlim_ref,
+):
+    """The fused SOR kernel with element-offset WINDOW inputs for the
+    four f32 arrays (one DMA stream per input instead of three — see the
+    "single-window input fetch" note above)."""
+    ti = pl.program_id(0)
+    hh = 3 * n_iters
+
+    pe = _wext(p_w[:], ti, n_t, t, hh)
+    pae = _wext(pa_w[:], ti, n_t, t, hh - 2)
+    ue = _wext(u_w[:], ti, n_t, t, hh - 1)
+    we = _wext(w_w[:], ti, n_t, t, hh - 1)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, hh - 1).astype(jnp.int32)
+    fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, hh - 2).astype(jnp.int32)
+    _sor_core(ti, n_t, t, omega, dt, dx, v_limit, n_iters,
+              pe, pae, ue, we, codee, fle, pn_ref, pc_ref, *maybe_vlim_ref)
+
+
+def _sor_core(
+    ti, n_t: int, t: int, omega: float, dt: float, dx: float,
+    v_limit: float | None, n_iters: int,
+    pe, pae, ue, we, codee, fle,
+    pn_ref, pc_ref, *maybe_vlim_ref,
+):
+    hh = 3 * n_iters
+    y = pe.shape[-1]
 
     # Parity of (global_i + j) on the widest sweep rows [-(hh-2), t+hh-2):
     # global row of window row k is r0 + k - (hh-2).

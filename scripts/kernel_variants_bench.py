@@ -95,7 +95,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--variant", required=True,
                    choices=["mac-dye-cgrid", "cip-vel-cgrid",
-                            "cip-dye-storder", "cip-dye-tile", "cip-vel-dma"])
+                            "cip-dye-storder", "cip-dye-tile", "cip-vel-dma",
+                            "cip-dye-win", "cip-vel-win", "cip-dye-slide"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
@@ -144,6 +145,46 @@ def main() -> None:
             mod.cip_dye_phase_pallas = functools.partial(orig, tile_x=t)
             report(f"t={t}", lambda: time_full_run(cfg, scene, args.steps))
         mod.cip_dye_phase_pallas = orig
+        return
+
+    if args.variant == "cip-dye-win":
+        # Element-offset window inputs vs halo triples in the 1-D
+        # channel-grid dye kernel (interleaved: both arms see the same
+        # tunnel window).
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_dye_phase_pallas
+        for rnd in range(2):
+            for label, flag in (("triples", False), ("windows", True)):
+                mod.cip_dye_phase_pallas = functools.partial(
+                    orig, window_inputs=flag)
+                report(f"{label} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_dye_phase_pallas = orig
+        return
+
+    if args.variant == "cip-dye-slide":
+        # Sliding-window dye kernel (c-major, ~1x halo amplification) vs
+        # the c-minor triple-fetch kernel, at a 128-aligned lane width.
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_dye_phase_pallas
+        for rnd in range(2):
+            for label, flag in (("triples", False), ("sliding", True)):
+                mod.cip_dye_phase_pallas = functools.partial(orig, sliding=flag)
+                report(f"{label} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_dye_phase_pallas = orig
+        return
+
+    if args.variant == "cip-vel-win":
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_velocity_phase_pallas
+        for rnd in range(2):
+            for label, flag in (("triples", False), ("windows", True)):
+                mod.cip_velocity_phase_pallas = functools.partial(
+                    orig, window_inputs=flag)
+                report(f"{label} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_velocity_phase_pallas = orig
         return
 
     if args.variant == "cip-vel-dma":

@@ -396,3 +396,92 @@ def test_cip_velocity_channel_grid_matches_folded():
         else:
             scale = max(1.0, np.abs(x).max())
             np.testing.assert_allclose(y, x, atol=1e-6 * scale, rtol=0, err_msg=n)
+
+
+def test_cip_dye_window_inputs_match_triples():
+    """Element-offset window fetch (one stream per input) computes
+    exactly what the halo-triple fetch does in the channel-grid CIP dye
+    kernel, including the clamped-offset realignment at the two
+    grid-edge tiles (pallas_stencil._wext)."""
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.ops.pallas_phases import cip_dye_phase_pallas
+    from fluid2d_tpu.scenes.compile import get_scene
+
+    rng = np.random.default_rng(6)
+    res = 32
+    cfg = SimConfig.create(resolution=res, scheme="cip", enable_dye=True)
+    scene = get_scene(2, res)
+    shp3 = (3, 2 * res, res)
+    dye, da = (jnp.asarray(rng.random(shp3), jnp.float32) for _ in range(2))
+    dxg, dxa, dyg, dya = (jnp.asarray(rng.standard_normal(shp3), jnp.float32)
+                          for _ in range(4))
+    vel = jnp.asarray(0.5 * rng.standard_normal((2, 2 * res, res)), jnp.float32)
+
+    a = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                             1000.0, cfg.dt, cfg.dx, interpret=True,
+                             window_inputs=False)
+    b = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                             1000.0, cfg.dt, cfg.dx, interpret=True,
+                             window_inputs=True)
+    names = ("dye", "dyex", "dyey", "dna", "dxna", "dyna")
+    for n, x, y in zip(names, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=n)
+
+
+def test_cip_velocity_window_inputs_match_triples():
+    """Element-offset window fetch matches the halo-triple fetch in the
+    folded 1-D CIP velocity kernel, bitwise."""
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.ops.pallas_phases import cip_velocity_phase_pallas
+    from fluid2d_tpu.scenes.compile import get_scene
+
+    rng = np.random.default_rng(7)
+    res = 32
+    cfg = SimConfig.create(resolution=res, scheme="cip")
+    scene = get_scene(2, res)
+    shp2 = (2, 2 * res, res)
+    v, va = (jnp.asarray(0.5 * rng.standard_normal(shp2), jnp.float32) for _ in range(2))
+    vx, vxa, vy, vya = (jnp.asarray(rng.standard_normal(shp2), jnp.float32)
+                        for _ in range(4))
+    p = jnp.asarray(0.3 * rng.standard_normal(shp2[1:]), jnp.float32)
+
+    a = cip_velocity_phase_pallas(v, p, va, vx, vxa, vy, vya, scene,
+                                  1000.0, cfg.dt, cfg.dx, interpret=True,
+                                  window_inputs=False)
+    b = cip_velocity_phase_pallas(v, p, va, vx, vxa, vy, vya, scene,
+                                  1000.0, cfg.dt, cfg.dx, interpret=True,
+                                  window_inputs=True)
+    names = ("v", "vx", "vy", "vna", "vxna", "vyna")
+    for n, x, y in zip(names, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=n)
+
+
+def test_cip_dye_sliding_window_matches_triples():
+    """The sliding-window dye kernel (c-major grid, manual tail DMAs,
+    16-row overlap carried forward in VMEM scratch) computes exactly
+    what the triple-fetch channel-grid kernel does."""
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.ops.pallas_phases import cip_dye_phase_pallas
+    from fluid2d_tpu.scenes.compile import get_scene
+
+    rng = np.random.default_rng(8)
+    res = 128  # lane width must be 128-aligned for the manual DMAs
+    cfg = SimConfig.create(resolution=res, scheme="cip", enable_dye=True)
+    scene = get_scene(2, res)
+    shp3 = (3, 2 * res, res)
+    dye, da = (jnp.asarray(rng.random(shp3), jnp.float32) for _ in range(2))
+    dxg, dxa, dyg, dya = (jnp.asarray(rng.standard_normal(shp3), jnp.float32)
+                          for _ in range(4))
+    vel = jnp.asarray(0.5 * rng.standard_normal((2, 2 * res, res)), jnp.float32)
+
+    a = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                             1000.0, cfg.dt, cfg.dx, interpret=True,
+                             window_inputs=False)
+    for tile in (None, 8):  # t=8 is the production tile at res=4096
+        b = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                                 1000.0, cfg.dt, cfg.dx, interpret=True,
+                                 sliding=True, tile_x=tile)
+        names = ("dye", "dyex", "dyey", "dna", "dxna", "dyna")
+        for n, x, y in zip(names, a, b):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{n} tile={tile}")
