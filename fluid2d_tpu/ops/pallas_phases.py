@@ -51,6 +51,8 @@ from fluid2d_tpu.ops.pallas_stencil import (
     _halo_triple_specs_cgrid,
     _halo_triple_specs_cgrid2,
     _reclamp,
+    _slide_fetch,
+    _slide_tail_start,
     _sy,
     _vmem_tile,
     _wext,
@@ -1022,7 +1024,7 @@ def _cip_dye_kernel_slide(
     d_h, da_h, dx_h, dxa_h, dy_h, dya_h, bcd_h, vel_h,
     inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
     d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
-    win_ref, sems,
+    win_ref, sems, head_sems,
 ):
     c = pl.program_id(0)
     ti = pl.program_id(1)
@@ -1044,10 +1046,9 @@ def _cip_dye_kernel_slide(
         return out
 
     def tail_dmas(ci, tin, s):
-        # The t NEW rows [tin·t+8, tin·t+t+8) (start clamped to x−t at the
-        # last tile; realigned there). Multiply by 8 LAST for the prover.
-        start = jnp.minimum(tin * (t // _HB) + 1, (x_rows - t) // _HB) * _HB
-        ds = pl.ds(start, t)
+        # The t NEW rows [tin·t+8, tin·t+t+8) (start clamped to x−t at
+        # the last tile; realigned there by _slide_fetch).
+        ds = pl.ds(_slide_tail_start(tin, t, x_rows), t)
         dst_rows = pl.ds(2 * _HB, t)
         out = []
         for k, ref in enumerate(per_ch):
@@ -1059,45 +1060,9 @@ def _cip_dye_kernel_slide(
             win_ref.at[s, pl.ds(7, 2), dst_rows], sems.at[s, 7]))
         return out
 
-    @pl.when(ti == 0)
-    def _():
-        for d in full_dmas(c, slot):
-            d.start()
-        for d in full_dmas(c, slot):
-            d.wait()
-        # Realign: fetched rows [0, t+16) → true window [-8, t+8) with the
-        # replicated edge row (clamp-to-edge on raw inputs).
-        body = win_ref[slot, :, : rows - _HB, :]
-        win_ref[slot, :, _HB:, :] = body
-        win_ref[slot, :, :_HB, :] = jnp.repeat(
-            win_ref[slot, :, _HB : _HB + 1, :], _HB, axis=1
-        )
-
-    @pl.when(ti > 0)
-    def _():
-        for d in tail_dmas(c, ti, slot):
-            d.wait()
-        # Overlap rows [ti·t−8, ti·t+8) come from the previous window
-        # (its last 16 rows) — BEFORE the prefetch below overwrites that
-        # slot's tail region.
-        win_ref[slot, :, : 2 * _HB, :] = win_ref[1 - slot, :, t : t + 2 * _HB, :]
-
-    @pl.when(ti + 1 < n_t)
-    def _():
-        for d in tail_dmas(c, ti + 1, 1 - slot):
-            d.start()
-
-    @pl.when((ti == n_t - 1) & (ti > 0))
-    def _():
-        # The last tail fetched rows [x−t, x); true tail is rows
-        # [x−t+8, x) plus the replicated last row. At t=8 the shift is
-        # empty (the head copy already holds rows [x−16, x)) and only
-        # the replication remains; either way row t+_HB−1 is row x−1.
-        if t > _HB:
-            win_ref[slot, :, 2 * _HB : t + _HB, :] = win_ref[slot, :, 3 * _HB :, :]
-        win_ref[slot, :, t + _HB :, :] = jnp.repeat(
-            win_ref[slot, :, t + _HB - 1 : t + _HB, :], _HB, axis=1
-        )
+    _slide_fetch(win_ref, functools.partial(full_dmas, c),
+                 functools.partial(tail_dmas, c), ti, n_t, t, slot,
+                 head_sems=head_sems)
 
     keys = {"d": 0, "da": 1, "dx": 2, "dxa": 3, "dy": 4, "dya": 5, "bcd": 6}
 
@@ -1156,6 +1121,7 @@ def _cip_dye_phase_slide(
         scratch_shapes=[
             pltpu.VMEM((2, _DYE_SLIDE_NPLANES, rows, y_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA(2),
         ],
         interpret=interpret,
     )(*args)
@@ -1241,8 +1207,13 @@ def cip_dye_phase_pallas(
     n_t = x_rows // t
 
     # Sliding-window fetch (manual DMAs: needs a 128-aligned lane width
-    # and the whole window inside the array). Opt-in pending measurement.
+    # and the whole window inside the array). Default ON where legal:
+    # measured 27.3 → 28.8 steps/s end-to-end at res=4096 (the t=8 halo
+    # amplification drops 3× → ~1×; the remaining gap to the byte model
+    # is VPU-bound window work — docs/BENCH.md ledger).
     can_slide = y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+    if sliding is None:
+        sliding = True
     if sliding and can_slide:
         return _cip_dye_phase_slide(
             dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
@@ -1367,9 +1338,39 @@ def _confinement_kernel(
     vn_ref,
 ):
     ti = pl.program_id(0)
-
     ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 2)  # rows [-2, t+2)
     fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, 1).astype(jnp.int32)
+    _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref)
+
+
+def _confinement_kernel_slide(
+    n_t: int, t: int, x_rows: int, dt: float, weight: float, dx: float,
+    v_h, va_ref, fl_c, fl_p8, fl_n8,
+    vn_ref, win_ref, sems, head_sems,
+):
+    """Confinement with a SLIDING velocity window (see the
+    "sliding-window fetch" note in pallas_stencil.py)."""
+    ti = pl.program_id(0)
+    slot = jax.lax.rem(ti, 2)
+    rows = t + 2 * _HB
+
+    def full_dmas(s):
+        return [pltpu.make_async_copy(
+            v_h.at[:, pl.ds(0, rows), :], win_ref.at[s], sems.at[s])]
+
+    def tail_dmas(tin, s):
+        ds = pl.ds(_slide_tail_start(tin, t, x_rows), t)
+        return [pltpu.make_async_copy(
+            v_h.at[:, ds, :], win_ref.at[s, :, pl.ds(2 * _HB, t)], sems.at[s])]
+
+    _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t, t, slot,
+                 head_sems=head_sems)
+    ve = win_ref[slot, :, _HB - 2 : _HB + t + 2, :]
+    fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, 1).astype(jnp.int32)
+    _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref)
+
+
+def _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref):
     fluid_mid = fle != 0  # rows [-1, t+1)
 
     # ω = ∂w/∂x − ∂u/∂y on rows [-1, t+1); zero at non-fluid (the
@@ -1407,7 +1408,8 @@ def _confinement_kernel(
 
 def confinement_pallas(
     v, v_alt, fluid8, dt: float, weight: float, dx: float,
-    *, tile_x: int | None = None, interpret: bool = False,
+    *, tile_x: int | None = None, sliding: bool | None = None,
+    interpret: bool = False,
 ):
     """Fused vorticity confinement (fs/vorticity_confinement.py): returns
     the new current buffer (fluid cells updated, alt elsewhere); the new
@@ -1424,26 +1426,50 @@ def confinement_pallas(
         raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
-    specs = (
-        _halo_triple_specs(t, y_cols, n_t, 2)
-        + [_center_spec(t, y_cols, 2)]
-        + _halo_triple_specs(t, y_cols, n_t, None)
-    )
+    if sliding is None:
+        sliding = True
+    sliding = sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+
+    rows = t + 2 * _HB
+    scratch_shapes = []
+    if sliding:
+        specs = (
+            [pl.BlockSpec(memory_space=pl.ANY), _center_spec(t, y_cols, 2)]
+            + _halo_triple_specs(t, y_cols, n_t, None)
+        )
+        kernel = functools.partial(
+            _confinement_kernel_slide, n_t, t, x_rows, dt, weight, dx)
+        scratch_shapes = [
+            pltpu.VMEM((2, 2, rows, y_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA(2),
+            pltpu.SemaphoreType.DMA(2),
+        ]
+        args = (v, v_alt, fluid8, fluid8, fluid8)
+        v_bytes = 2 * (rows + (n_t - 1) * t) * y_cols * 4
+    else:
+        specs = (
+            _halo_triple_specs(t, y_cols, n_t, 2)
+            + [_center_spec(t, y_cols, 2)]
+            + _halo_triple_specs(t, y_cols, n_t, None)
+        )
+        kernel = functools.partial(_confinement_kernel, n_t, dt, weight, dx)
+        args = (v, v, v, v_alt, fluid8, fluid8, fluid8)
+        v_bytes = 2 * triple_bytes(x_rows, y_cols, t, None)
     log_traffic(
         "confinement",
-        2 * triple_bytes(x_rows, y_cols, t, None)
+        v_bytes
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + 4 * center_bytes(x_rows, y_cols, None),
     )
-    kernel = functools.partial(_confinement_kernel, n_t, dt, weight, dx)
     vn = pl.pallas_call(
         kernel,
         grid=(n_t,),
         in_specs=specs,
         out_specs=[_center_spec(t, y_cols, 2)],
         out_shape=[jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(v, v, v, v_alt, fluid8, fluid8, fluid8)[0]
+    )(*args)[0]
     return vn, v
 
 
@@ -1457,15 +1483,69 @@ def _mac_velocity_kernel(
     v_out, vbc_out,
 ):
     ti = pl.program_id(0)
-
     halo = 2 if scheme == "kk" else 1
     ve = _ext(v_c[:], v_p8[:], v_n8[:], ti, n_t, 2 + halo)
     pe = _ext(p_c[:], p_p8[:], p_n8[:], ti, n_t, 1)
-    vac = va_ref[:]
     codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, halo).astype(jnp.int32)
     conste = _ext(const_c[:], const_p8[:], const_n8[:], ti, n_t, halo)
-    fluid = fluid_ref[:] != 0
+    _mac_velocity_core(ti, n_t, scheme, re, dt, dx, ve, pe, va_ref[:],
+                       codee, conste, fluid_ref[:] != 0, v_out, vbc_out)
 
+
+def _mac_velocity_kernel_slide(
+    n_t: int, t: int, x_rows: int, scheme: str, re: float, dt: float, dx: float,
+    v_h, p_h, const_h, va_ref,
+    code_c, code_p8, code_n8, fluid_ref,
+    v_out, vbc_out, win_ref, sems, head_sems,
+):
+    """MAC velocity with SLIDING windows for v/p/const (see the
+    "sliding-window fetch" note in pallas_stencil.py). Plane layout:
+    0-1 v, 2 p, 3-4 bc_const."""
+    ti = pl.program_id(0)
+    slot = jax.lax.rem(ti, 2)
+    rows = t + 2 * _HB
+    srcs = ((v_h, 0, True), (p_h, 2, False), (const_h, 3, True))
+
+    def full_dmas(s):
+        out = []
+        for ref, k, lead in srcs:
+            src = ref.at[:, pl.ds(0, rows), :] if lead else ref.at[pl.ds(0, rows), :]
+            dst = win_ref.at[s, pl.ds(k, 2)] if lead else win_ref.at[s, k]
+            out.append(pltpu.make_async_copy(src, dst, sems.at[s, k]))
+        return out
+
+    def tail_dmas(tin, s):
+        ds = pl.ds(_slide_tail_start(tin, t, x_rows), t)
+        dr = pl.ds(2 * _HB, t)
+        out = []
+        for ref, k, lead in srcs:
+            src = ref.at[:, ds, :] if lead else ref.at[ds, :]
+            dst = win_ref.at[s, pl.ds(k, 2), dr] if lead else win_ref.at[s, k, dr]
+            out.append(pltpu.make_async_copy(src, dst, sems.at[s, k]))
+        return out
+
+    _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t, t, slot,
+                 head_sems=head_sems)
+
+    halo = 2 if scheme == "kk" else 1
+
+    def win(k, n, hx):
+        w = win_ref[slot, k : k + n, _HB - hx : _HB + t + hx, :]
+        return w[0] if n == 1 else w
+
+    ve = win(0, 2, 2 + halo)
+    pe = win(2, 1, 1)
+    conste = win(3, 2, halo)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, halo).astype(jnp.int32)
+    _mac_velocity_core(ti, n_t, scheme, re, dt, dx, ve, pe, va_ref[:],
+                       codee, conste, fluid_ref[:] != 0, v_out, vbc_out)
+
+
+def _mac_velocity_core(
+    ti, n_t: int, scheme: str, re: float, dt: float, dx: float,
+    ve, pe, vac, codee, conste, fluid, v_out, vbc_out,
+):
+    halo = 2 if scheme == "kk" else 1
     # BC on rows [-halo, t+halo), re-clamped at grid-edge tiles.
     uc, wc = _velocity_bc_window(ve[0], ve[1], codee, conste[0], conste[1])
     uc = _reclamp(uc, ti, n_t, halo)
@@ -1492,7 +1572,8 @@ def _mac_velocity_kernel(
 
 def mac_velocity_phase_pallas(
     v, p, v_alt, scene, scheme: str, re: float, dt: float, dx: float,
-    *, tile_x: int | None = None, interpret: bool = False,
+    *, tile_x: int | None = None, sliding: bool | None = None,
+    interpret: bool = False,
 ):
     """Velocity BC + fused MAC momentum update (``fs/solver.py:79-107``).
 
@@ -1517,31 +1598,54 @@ def mac_velocity_phase_pallas(
         raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
-    h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
-    specs = (
-        h2(2) + h2(None) + [_center_spec(t, y_cols, 2)]
-        + h2(None) + h2(2) + [_center_spec(t, y_cols, None)]
-    )
-    args = [v] * 3 + [p] * 3 + [v_alt] + [scene.vbc_code] * 3 + [scene.bc_const] * 3 + [scene.fluid8]
+    if sliding is None:
+        sliding = True
+    sliding = sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+
+    rows = t + 2 * _HB
+    scratch_shapes = []
+    if sliding:
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        specs = (
+            [any_spec, any_spec, any_spec, _center_spec(t, y_cols, 2)]
+            + _halo_triple_specs(t, y_cols, n_t, None)
+            + [_center_spec(t, y_cols, None)]
+        )
+        args = [v, p, scene.bc_const, v_alt] + [scene.vbc_code] * 3 + [scene.fluid8]
+        kernel = functools.partial(
+            _mac_velocity_kernel_slide, n_t, t, x_rows, scheme, re, dt, dx)
+        scratch_shapes = [
+            pltpu.VMEM((2, 5, rows, y_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA(2),
+        ]
+        f32_bytes = 5 * (rows + (n_t - 1) * t) * y_cols * 4
+    else:
+        h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
+        specs = (
+            h2(2) + h2(None) + [_center_spec(t, y_cols, 2)]
+            + h2(None) + h2(2) + [_center_spec(t, y_cols, None)]
+        )
+        args = [v] * 3 + [p] * 3 + [v_alt] + [scene.vbc_code] * 3 \
+            + [scene.bc_const] * 3 + [scene.fluid8]
+        kernel = functools.partial(_mac_velocity_kernel, n_t, scheme, re, dt, dx)
+        f32_bytes = 5 * triple_bytes(x_rows, y_cols, t, None)
     log_traffic(
         "mac_velocity",
-        5 * triple_bytes(x_rows, y_cols, t, None)
+        f32_bytes
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 6 * center_bytes(x_rows, y_cols, None),
     )
 
-    kernel = functools.partial(_mac_velocity_kernel, n_t, scheme, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
-
-    # signature order: v triple, p triple, va center, code triple,
-    # const triple, fluid center
     return pl.pallas_call(
         kernel,
         grid=(n_t,),
         in_specs=specs,
         out_specs=[_center_spec(t, y_cols, 2)] * 2,
         out_shape=[out_sd] * 2,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
 
@@ -1565,6 +1669,56 @@ def _mac_dye_kernel(
     for c in range(chans):
         de = _ext(d_c[c], d_p8[c], d_n8[c], ti, n_t, halo)
         bcde = _ext(bcd_c[c], bcd_p8[c], bcd_n8[c], ti, n_t, halo)
+        dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
+        dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
+        d_out[c] = clamp_field(jnp.where(fluid, dn, da_ref[c]), 0.0, 1.0)
+        dbc_out[c] = dc[halo:-halo]
+
+
+def _mac_dye_kernel_slide(
+    n_t: int, t: int, x_rows: int, chans: int, scheme: str, dt: float, dx: float,
+    d_h, bcd_h, vel_ref, da_ref,
+    inflow_c, inflow_p8, inflow_n8, fluid_ref,
+    d_out, dbc_out, win_ref, sems, head_sems,
+):
+    """Channel-folded MAC dye with SLIDING windows for dye/bc_dye (one
+    lead-dim copy each per tile — see the "sliding-window fetch" note
+    in pallas_stencil.py). Plane layout: 0..chans dye, chans.. bc_dye."""
+    ti = pl.program_id(0)
+    slot = jax.lax.rem(ti, 2)
+    rows = t + 2 * _HB
+    srcs = ((d_h, 0), (bcd_h, chans))
+
+    def full_dmas(s):
+        return [
+            pltpu.make_async_copy(
+                ref.at[:, pl.ds(0, rows), :],
+                win_ref.at[s, pl.ds(k, chans)], sems.at[s, k])
+            for ref, k in srcs
+        ]
+
+    def tail_dmas(tin, s):
+        ds = pl.ds(_slide_tail_start(tin, t, x_rows), t)
+        return [
+            pltpu.make_async_copy(
+                ref.at[:, ds, :],
+                win_ref.at[s, pl.ds(k, chans), pl.ds(2 * _HB, t)], sems.at[s, k])
+            for ref, k in srcs
+        ]
+
+    _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t, t, slot,
+                 head_sems=head_sems)
+
+    halo = 2 if scheme == "kk" else 1
+    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, halo).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+    u_cen = vel_ref[0]
+    w_cen = vel_ref[1]
+    advect = _advect_kk_window if scheme == "kk" else _advect_upwind_window
+
+    for c in range(chans):
+        de = win_ref[slot, c, _HB - halo : _HB + t + halo, :]
+        bcde = win_ref[slot, chans + c, _HB - halo : _HB + t + halo, :]
         dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
         dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
         d_out[c] = clamp_field(jnp.where(fluid, dn, da_ref[c]), 0.0, 1.0)
@@ -1597,7 +1751,7 @@ def _mac_dye_kernel_cgrid(
 def mac_dye_phase_pallas(
     dye, dye_alt, vel, scene, scheme: str, dt: float, dx: float,
     *, tile_x: int | None = None, interpret: bool = False,
-    channel_grid: bool | None = None,
+    channel_grid: bool | None = None, sliding: bool | None = None,
 ):
     """Dye BC + upwind/KK advection + clamp (``fs/solver.py:149-161``).
 
@@ -1628,9 +1782,17 @@ def mac_dye_phase_pallas(
         raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
+    if sliding is None:
+        sliding = True
+    sliding = (sliding and not channel_grid and y_cols % _HY == 0
+               and x_rows >= t + 2 * _HB and n_t >= 2)
+    f32_in = (
+        2 * chans * ((t + 2 * _HB) + (n_t - 1) * t) * y_cols * 4
+        if sliding else 2 * chans * triple_bytes(x_rows, y_cols, t, None)
+    )
     log_traffic(
         "mac_dye",
-        2 * chans * triple_bytes(x_rows, y_cols, t, None)
+        f32_in
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + (2 + chans) * center_bytes(x_rows, y_cols, None)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
@@ -1653,6 +1815,32 @@ def mac_dye_phase_pallas(
             in_specs=specs,
             out_specs=[_center_spec_cgrid(t, y_cols, "c")] * 2,
             out_shape=[out_sd] * 2,
+            interpret=interpret,
+        )(*args)
+
+    if sliding:
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        specs = (
+            [any_spec, any_spec, _center_spec(t, y_cols, 2),
+             _center_spec(t, y_cols, chans)]
+            + _halo_triple_specs(t, y_cols, n_t, None)
+            + [_center_spec(t, y_cols, None)]
+        )
+        args = [dye, scene.bc_dye, vel, dye_alt] + [scene.inflow8] * 3 + [scene.fluid8]
+        kernel = functools.partial(
+            _mac_dye_kernel_slide, n_t, t, x_rows, chans, scheme, dt, dx)
+        rows = t + 2 * _HB
+        return pl.pallas_call(
+            kernel,
+            grid=(n_t,),
+            in_specs=specs,
+            out_specs=[_center_spec(t, y_cols, chans)] * 2,
+            out_shape=[out_sd] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((2, 2 * chans, rows, y_cols), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2 * chans)),
+                pltpu.SemaphoreType.DMA(2),
+            ],
             interpret=interpret,
         )(*args)
 

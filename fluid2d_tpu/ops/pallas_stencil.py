@@ -369,6 +369,90 @@ def _win_spec_cgrid(t: int, y: int, n_t: int, lead, h: int = _HB):
     )
 
 
+# --- sliding-window fetch (manual DMAs, 128-aligned lane widths) ---------------
+#
+# Shared control flow for kernels whose row tiles stream sequentially
+# (row index minor on the grid): every f32 input's (t+16, Y) window
+# lives in double-buffered VMEM scratch; interior tiles fetch only the
+# t NEW rows (one strided make_async_copy per input, prefetched one
+# program ahead) and carry the 16 overlap rows forward from the
+# previous program's slot — halo amplification drops from (t+16)/t to
+# ~1. Sweep-start tiles fetch the full window; the two grid-edge tiles
+# realign their clamped fetch in place under pl.when (zero interior
+# cost). Callers provide full_dmas(slot) / tail_dmas(tin, slot)
+# builders over their own plane layout; reconstruct the same
+# descriptors to wait (the make_async_copy pattern of the DMA-window
+# velocity kernel).
+
+
+def _slide_tail_start(tin, t: int, x_rows: int):
+    """Start row of window `tin`'s t new rows [tin·t+8, +t), clamped to
+    the array (multiply by 8 LAST for Mosaic's divisibility prover)."""
+    return jnp.minimum(tin * (t // _HB) + 1, (x_rows - t) // _HB) * _HB
+
+
+def _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t: int, t: int, slot,
+                 head_sems=None):
+    rows = t + 2 * _HB
+
+    def head_dma(s):
+        # Overlap rows [ti·t−8, ti·t+8) for window s come from the OTHER
+        # slot's window (its last 16 rows). As a local VMEM→VMEM DMA
+        # issued one program ahead it rides the copy engine instead of
+        # costing ~2·16·nplanes VPU row-passes per program (~25% of the
+        # t=8 dye program, per the res=4096 trace).
+        return pltpu.make_async_copy(
+            win_ref.at[1 - s, :, pl.ds(t, 2 * _HB)],
+            win_ref.at[s, :, pl.ds(0, 2 * _HB)],
+            head_sems.at[s],
+        )
+
+    @pl.when(ti == 0)
+    def _():
+        for d in full_dmas(slot):
+            d.start()
+        for d in full_dmas(slot):
+            d.wait()
+        # Realign: fetched rows [0, t+16) → true window [-8, t+8) with
+        # the replicated edge row (clamp-to-edge on raw inputs).
+        win_ref[slot, :, _HB:, :] = win_ref[slot, :, : rows - _HB, :]
+        win_ref[slot, :, :_HB, :] = jnp.repeat(
+            win_ref[slot, :, _HB : _HB + 1, :], _HB, axis=1
+        )
+
+    @pl.when(ti > 0)
+    def _():
+        for d in tail_dmas(ti, slot):
+            d.wait()
+        if head_sems is not None:
+            head_dma(slot).wait()
+        else:
+            win_ref[slot, :, : 2 * _HB, :] = win_ref[1 - slot, :, t : t + 2 * _HB, :]
+
+    @pl.when(ti + 1 < n_t)
+    def _():
+        # Prefetch AFTER the waits above: the head DMA into 1−slot must
+        # not race the tail DMA below into the same slot's rows [16:)
+        # (they overlap at t=8), and this program's head wait (reading
+        # 1−slot rows [t:t+16)) must precede overwriting them.
+        for d in tail_dmas(ti + 1, 1 - slot):
+            d.start()
+        if head_sems is not None:
+            head_dma(1 - slot).start()
+
+    @pl.when((ti == n_t - 1) & (ti > 0))
+    def _():
+        # The last tail fetched rows [x−t, x); true tail is rows
+        # [x−t+8, x) plus the replicated last row. At t=8 the shift is
+        # empty (the head copy already holds rows [x−16, x)) and only
+        # the replication remains; either way row t+_HB−1 is row x−1.
+        if t > _HB:
+            win_ref[slot, :, 2 * _HB : t + _HB, :] = win_ref[slot, :, 3 * _HB :, :]
+        win_ref[slot, :, t + _HB :, :] = jnp.repeat(
+            win_ref[slot, :, t + _HB - 1 : t + _HB, :], _HB, axis=1
+        )
+
+
 def _wext(F, ti, n_t: int, t: int, hx: int, h: int = _HB):
     """Realigned (…, t+2hx, y) window from a clamped-offset fetch F.
 
@@ -877,6 +961,56 @@ def _sor_kernel_win(
               pe, pae, ue, we, codee, fle, pn_ref, pc_ref, *maybe_vlim_ref)
 
 
+def _sor_kernel_slide(
+    n_t: int, t: int, x_rows: int, omega: float, dt: float, dx: float,
+    v_limit: float | None, n_iters: int,
+    p_h, pa_h, u_h, w_h,
+    code_c, code_p8, code_n8, fl_c, fl_p8, fl_n8,
+    pn_ref, pc_ref, *vlim_and_scratch,
+):
+    """The fused SOR kernel with SLIDING-window inputs for the four f32
+    arrays (see the "sliding-window fetch" note above): interior tiles
+    fetch only the t new rows of each input."""
+    *maybe_vlim_ref, win_ref, sems, head_sems = vlim_and_scratch
+    ti = pl.program_id(0)
+    slot = jax.lax.rem(ti, 2)
+    rows = t + 2 * _HB
+    hh = 3 * n_iters
+    planes = (p_h, pa_h, u_h, w_h)
+
+    def full_dmas(s):
+        return [
+            pltpu.make_async_copy(
+                ref.at[pl.ds(0, rows), :], win_ref.at[s, k], sems.at[s, k]
+            )
+            for k, ref in enumerate(planes)
+        ]
+
+    def tail_dmas(tin, s):
+        ds = pl.ds(_slide_tail_start(tin, t, x_rows), t)
+        return [
+            pltpu.make_async_copy(
+                ref.at[ds, :], win_ref.at[s, k, pl.ds(2 * _HB, t)], sems.at[s, k]
+            )
+            for k, ref in enumerate(planes)
+        ]
+
+    _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t, t, slot,
+                 head_sems=head_sems)
+
+    def win(k, hx):
+        return win_ref[slot, k, _HB - hx : _HB + t + hx, :]
+
+    pe = win(0, hh)
+    pae = win(1, hh - 2)
+    ue = win(2, hh - 1)
+    we = win(3, hh - 1)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, hh - 1).astype(jnp.int32)
+    fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, hh - 2).astype(jnp.int32)
+    _sor_core(ti, n_t, t, omega, dt, dx, v_limit, n_iters,
+              pe, pae, ue, we, codee, fle, pn_ref, pc_ref, *maybe_vlim_ref)
+
+
 def _sor_core(
     ti, n_t: int, t: int, omega: float, dt: float, dx: float,
     v_limit: float | None, n_iters: int,
@@ -950,7 +1084,7 @@ def _sor_core(
 def sor_iteration_pallas(
     p_cur, p_alt, u, w, pbc_code, fluid8, omega: float, dt: float, dx: float,
     *, n_iters: int = 1, v_limit: float | None = None, tile_x: int | None = None,
-    interpret: bool = False,
+    sliding: bool | None = None, interpret: bool = False,
 ):
     """`n_iters` fused red-black SOR iterations (BC + odd + even sweeps
     each) in ONE pallas_call — a single HBM pass over p/u/w.
@@ -981,23 +1115,49 @@ def sor_iteration_pallas(
         raise PallasInfeasibleError(msg)
     n_t = x_rows // t
 
-    specs = (
+    # Sliding-window fetch where the lane width allows the manual DMAs
+    # (see the "sliding-window fetch" note): amplification on the four
+    # f32 inputs drops from (t+16)/t to ~1.
+    if sliding is None:
+        sliding = True
+    sliding = sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+
+    i8_specs = (
         _halo_triple_specs(t, y_cols, n_t, None)
         + _halo_triple_specs(t, y_cols, n_t, None)
-        + _halo_triple_specs(t, y_cols, n_t, None)
-        + _halo_triple_specs(t, y_cols, n_t, None)
-        + _halo_triple_specs(t, y_cols, n_t, None)
-        + _halo_triple_specs(t, y_cols, n_t, None)
     )
-    args = [p_cur] * 3 + [p_alt] * 3 + [u] * 3 + [w] * 3 + [pbc_code] * 3 + [fluid8] * 3
+    scratch_shapes = []
+    if sliding:
+        specs = [pl.BlockSpec(memory_space=pl.ANY)] * 4 + i8_specs
+        args = [p_cur, p_alt, u, w] + [pbc_code] * 3 + [fluid8] * 3
+        kernel = functools.partial(
+            _sor_kernel_slide, n_t, t, x_rows, omega, dt, dx, v_limit, n_iters
+        )
+        rows = t + 2 * _HB
+        scratch_shapes = [
+            pltpu.VMEM((2, 4, rows, y_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA(2),
+        ]
+        f32_bytes = 4 * (rows + (n_t - 1) * t) * y_cols * 4
+    else:
+        specs = (
+            _halo_triple_specs(t, y_cols, n_t, None)
+            + _halo_triple_specs(t, y_cols, n_t, None)
+            + _halo_triple_specs(t, y_cols, n_t, None)
+            + _halo_triple_specs(t, y_cols, n_t, None)
+            + i8_specs
+        )
+        args = [p_cur] * 3 + [p_alt] * 3 + [u] * 3 + [w] * 3 + [pbc_code] * 3 + [fluid8] * 3
+        kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx, v_limit, n_iters)
+        f32_bytes = 4 * triple_bytes(x_rows, y_cols, t, None)
     log_traffic(
         f"sor_x{n_iters}",
-        4 * triple_bytes(x_rows, y_cols, t, None)
+        f32_bytes
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + (4 if v_limit is not None else 2) * center_bytes(x_rows, y_cols, None),
     )
 
-    kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx, v_limit, n_iters)
     out_shape = [jax.ShapeDtypeStruct(p_cur.shape, p_cur.dtype)] * 2
     out_specs = [_center_spec(t, y_cols, None)] * 2
     if v_limit is not None:
@@ -1010,6 +1170,7 @@ def sor_iteration_pallas(
         in_specs=specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
     return outs if v_limit is not None else (outs[0], outs[1])

@@ -485,3 +485,100 @@ def test_cip_dye_sliding_window_matches_triples():
         for n, x, y in zip(names, a, b):
             np.testing.assert_array_equal(
                 np.asarray(x), np.asarray(y), err_msg=f"{n} tile={tile}")
+
+
+@pytest.mark.parametrize("n_iters", [1, 2])
+def test_sor_sliding_window_matches_triples(n_iters):
+    """The sliding-window SOR kernel matches the triple-fetch one
+    bitwise at a 128-aligned lane width (both tile sizes incl. t=8)."""
+    from fluid2d_tpu.ops.pallas_stencil import sor_iteration_pallas
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    bc, mask, dyearr = build_scene_arrays(2, 128)  # grid (256, 128)
+    scene = compile_scene(bc, mask, dyearr)
+    p, pa, u, w = (_mk(*mask.shape) for _ in range(4))
+    omega, dt, dx = 1.3, 1e-3, 1 / 128
+
+    for tile in (None, 8):
+        a = sor_iteration_pallas(p, pa, u, w, scene.pbc_code, scene.fluid8,
+                                 omega, dt, dx, n_iters=n_iters, v_limit=10.0,
+                                 tile_x=tile, sliding=False, interpret=True)
+        b = sor_iteration_pallas(p, pa, u, w, scene.pbc_code, scene.fluid8,
+                                 omega, dt, dx, n_iters=n_iters, v_limit=10.0,
+                                 tile_x=tile, sliding=True, interpret=True)
+        for name, x, y in zip(("pn", "pc", "vlim"), a, b):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{name} tile={tile}")
+
+
+def test_confinement_sliding_window_matches_triples():
+    """The sliding-window confinement kernel matches the triple-fetch
+    one bitwise at a 128-aligned lane width."""
+    from fluid2d_tpu.ops.pallas_phases import confinement_pallas
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    bc, mask, dyearr = build_scene_arrays(2, 128)
+    scene = compile_scene(bc, mask, dyearr)
+    v = _mk(2, *mask.shape)
+    va = _mk(2, *mask.shape)
+
+    for tile in (None, 8):
+        a = confinement_pallas(v, va, scene.fluid8, 1e-3, 5.0, 1 / 128,
+                               tile_x=tile, sliding=False, interpret=True)
+        b = confinement_pallas(v, va, scene.fluid8, 1e-3, 5.0, 1 / 128,
+                               tile_x=tile, sliding=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]),
+                                      err_msg=f"tile={tile}")
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+@pytest.mark.parametrize("scheme", ["upwind", "kk"])
+def test_mac_sliding_windows_match_triples(scheme):
+    """Sliding-window MAC velocity and dye kernels match the
+    triple-fetch ones bitwise at a 128-aligned lane width."""
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.ops.pallas_phases import (
+        mac_dye_phase_pallas,
+        mac_velocity_phase_pallas,
+    )
+    from fluid2d_tpu.scenes.compile import get_scene
+
+    rng = np.random.default_rng(11)
+    res = 128
+    cfg = SimConfig.create(resolution=res, scheme=scheme, enable_dye=True)
+    scene = get_scene(2, res)
+    shp = (2 * res, res)
+    v, va = (jnp.asarray(0.5 * rng.standard_normal((2, *shp)), jnp.float32)
+             for _ in range(2))
+    p = jnp.asarray(0.3 * rng.standard_normal(shp), jnp.float32)
+    dye, da = (jnp.asarray(rng.random((3, *shp)), jnp.float32) for _ in range(2))
+
+    for tile in (None, 8):
+        a = mac_velocity_phase_pallas(v, p, va, scene, scheme, 1000.0,
+                                      cfg.dt, cfg.dx, tile_x=tile,
+                                      sliding=False, interpret=True)
+        b = mac_velocity_phase_pallas(v, p, va, scene, scheme, 1000.0,
+                                      cfg.dt, cfg.dx, tile_x=tile,
+                                      sliding=True, interpret=True)
+        for name, x, y in zip(("v", "vbc"), a, b):
+            x, y = np.asarray(x), np.asarray(y)
+            if name == "vbc":
+                np.testing.assert_array_equal(x, y, err_msg=f"{name} tile={tile}")
+            else:
+                # The two program structures fuse differently under XLA
+                # interpret mode → ~1-ulp FMA-contraction noise on the
+                # momentum update (same split as
+                # test_cip_velocity_channel_grid_matches_folded).
+                scale = max(1.0, np.abs(x).max())
+                np.testing.assert_allclose(y, x, atol=1e-6 * scale, rtol=0,
+                                           err_msg=f"{name} tile={tile}")
+
+        c = mac_dye_phase_pallas(dye, da, v, scene, scheme, cfg.dt, cfg.dx,
+                                 tile_x=tile, sliding=False, interpret=True)
+        d = mac_dye_phase_pallas(dye, da, v, scene, scheme, cfg.dt, cfg.dx,
+                                 tile_x=tile, sliding=True, interpret=True)
+        for name, x, y in zip(("dye", "dbc"), c, d):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{name} tile={tile}")
