@@ -288,6 +288,63 @@ def _cip_velocity_kernel_win(
     )
 
 
+def _cip_velocity_kernel_slide(
+    n_t: int, t: int, x_rows: int, re: float, dt: float, dx: float,
+    v_h, p_h, va_h, vx_h, vxa_h, vy_h, vya_h, const_h,
+    code_c, code_p8, code_n8, nw_c, nw_p8, nw_n8, fluid_ref,
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out,
+    win_ref, sems, head_sems,
+):
+    """The folded 1-D velocity kernel with SLIDING windows for the eight
+    f32 arrays (see the "sliding-window fetch" note in pallas_stencil.py):
+    interior tiles fetch only the t new rows of each plane. Plane layout
+    = :data:`_VEL_DMA_PLANES`. The int8 codes/masks keep the triple path."""
+    ti = pl.program_id(0)
+    slot = jax.lax.rem(ti, 2)
+    rows = t + 2 * _HB
+    hbm = (v_h, p_h, va_h, vx_h, vxa_h, vy_h, vya_h, const_h)
+
+    def plane_dmas(ds_r, r0: int, nr: int, s):
+        dst_r = pl.ds(r0, nr)
+        out = []
+        for a, (ref, (p0, lead)) in enumerate(zip(hbm, _VEL_DMA_PLANES)):
+            if lead is None:
+                src = ref.at[ds_r, :]
+                dst = win_ref.at[s, p0, dst_r]
+            else:
+                src = ref.at[:, ds_r, :]
+                dst = win_ref.at[s, p0 : p0 + lead, dst_r]
+            out.append(pltpu.make_async_copy(src, dst, sems.at[s, a]))
+        return out
+
+    def full_dmas(s):
+        return plane_dmas(pl.ds(0, rows), 0, rows, s)
+
+    def tail_dmas(tin, s):
+        return plane_dmas(pl.ds(_slide_tail_start(tin, t, x_rows), t), 2 * _HB, t, s)
+
+    _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t, t, slot,
+                 head_sems=head_sems)
+
+    def w(p0, lead, hx):
+        r0, r1 = _HB - hx, _HB + t + hx
+        if lead is None:
+            return win_ref[slot, p0, r0:r1, :]
+        return win_ref[slot, p0 : p0 + lead, r0:r1, :]
+
+    ve, pe, vae = w(0, 2, 5), w(2, None, 3), w(3, 2, 2)
+    vxe, vxae, vye, vyae = w(5, 2, 1), w(7, 2, 1), w(9, 2, 1), w(11, 2, 1)
+    conste = w(13, 2, 3)
+    codee = _ext(code_c[:], code_p8[:], code_n8[:], ti, n_t, 3).astype(jnp.int32)
+    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid = fluid_ref[:] != 0
+    _cip_velocity_body(
+        ti, n_t, re, dt, dx,
+        ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
+        v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out, lambda a: a,
+    )
+
+
 def _cip_velocity_kernel_cgrid(
     n_t: int, re: float, dt: float, dx: float,
     v_c, v_p8, v_n8, p_c, p_p8, p_n8, va_c, va_p8, va_n8,
@@ -411,7 +468,8 @@ def cip_velocity_phase_pallas(
     re: float, dt: float, dx: float,
     *, tile_x: int | None = None, interpret: bool = False,
     channel_grid: bool | None = None, dma_windows: bool | None = None,
-    window_inputs: bool | None = None,
+    dma_slide: bool | None = None, window_inputs: bool | None = None,
+    sliding: bool | None = None,
 ):
     """Whole CIP velocity phase (BC + non-advection + grads + advection).
 
@@ -446,23 +504,72 @@ def cip_velocity_phase_pallas(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
             tile_x=tile_x, interpret=interpret,
         )
+    if dma_slide is True:
+        return _cip_velocity_phase_2d_slide(
+            v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
+        )
     if dma_windows is True:
         return _cip_velocity_phase_2d_dma(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
         )
     if t is None:
-        # DMA-window fetch beats 9-block assembly when the lane width
-        # is 128-aligned (measured at res=4096, docs/BENCH.md);
-        # dma_windows=False forces the 9-block path.
-        if dma_windows is None and _pick_tile2d_dma(x_rows, y_cols) is not None:
-            return _cip_velocity_phase_2d_dma(
-                v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
-                interpret=interpret,
-            )
+        # DMA-window fetch beats 9-block assembly when the lane width is
+        # 128-aligned (measured at res=4096, docs/BENCH.md), and the
+        # row-sliding variant beats the full-window one (it ships ~1/3
+        # of the bytes on this DMA-paced phase). dma_slide=False skips
+        # the sliding variant; dma_windows=False forces 9-block.
+        if dma_windows is None:
+            if dma_slide is None and _pick_tile2d_slide(x_rows, y_cols) is not None:
+                return _cip_velocity_phase_2d_slide(
+                    v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+                    interpret=interpret,
+                )
+            if _pick_tile2d_dma(x_rows, y_cols) is not None:
+                return _cip_velocity_phase_2d_dma(
+                    v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+                    interpret=interpret,
+                )
         return _cip_velocity_phase_2d(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
         )
     n_t = x_rows // t
+
+    # Sliding-window fetch for the eight f32 arrays (manual DMAs: needs
+    # a 128-aligned lane width). Same default-ON-where-legal policy as
+    # the other 1-D sliding kernels; res=1600 (lane 1600) is unaffected.
+    if sliding is None:
+        sliding = True
+    if sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2:
+        rows = t + 2 * _HB
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        i8 = lambda: _halo_triple_specs(t, y_cols, n_t, None)  # noqa: E731
+        specs = [any_spec] * 8 + i8() + i8() + [_center_spec(t, y_cols, None)]
+        args = (
+            [v, p, v_alt, vx, vx_alt, vy, vy_alt, scene.bc_const]
+            + [scene.vbc_code] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
+        )
+        log_traffic(
+            "cip_velocity",
+            15 * (rows + (n_t - 1) * t) * y_cols * 4
+            + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
+            + center_bytes(x_rows, y_cols, None, itemsize=1)
+            + 12 * center_bytes(x_rows, y_cols, None),
+        )
+        kernel = functools.partial(
+            _cip_velocity_kernel_slide, n_t, t, x_rows, re, dt, dx)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_t,),
+            in_specs=specs,
+            out_specs=[_center_spec(t, y_cols, 2)] * 6,
+            out_shape=[jax.ShapeDtypeStruct(v.shape, v.dtype)] * 6,
+            scratch_shapes=[
+                pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, y_cols), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, len(_VEL_DMA_PLANES))),
+                pltpu.SemaphoreType.DMA(2),
+            ],
+            interpret=interpret,
+        )(*args)
 
     if window_inputs is None:
         window_inputs = False  # see the measured note in cip_dye_phase_pallas
@@ -849,6 +956,204 @@ def _cip_velocity_phase_2d_dma(
         scratch_shapes=[
             pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, cols), jnp.float32),
             pltpu.SemaphoreType.DMA((2, len(_VEL_DMA_PLANES))),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+# --- row-sliding variant of the DMA-window 2-D velocity kernel ----------------
+#
+# The full-window DMA kernel re-fetches each plane's whole (t+16, ty+256)
+# window per tile — a (t+16)/t × (ty+256)/ty traffic amplification, and
+# the res=4096 trace pins the velocity phase at its DMA-geometry ceiling
+# (docs/BENCH.md "res=4096 per-kernel trace"), so shipped bytes are the
+# lever. This variant transposes the grid to (n_ty, n_tx) with the ROW
+# tile minor: within each column stripe the window slides down the rows
+# (the sliding-window machinery of _slide_fetch — interior tiles fetch
+# only the t NEW rows; the 16 overlap rows ride the copy engine from the
+# previous program's slot), leaving the per-stripe lane halo
+# (ty+2·128)/ty as the only DMA amplification. Lane-edge realignment at
+# the two stripe ends is applied per FETCHED row range via the fix
+# hooks: the whole window at sweep starts, the tail rows on interior
+# tiles — always before the next head DMA reads them.
+
+
+def _cip_velocity_kernel_2d_slide(
+    n_tx: int, n_ty: int, t: int, ty: int, x_rows: int, y_cols: int,
+    re: float, dt: float, dx: float,
+    *refs,
+):
+    it = iter(refs)
+    hbm = [next(it) for _ in range(8)]  # v, p, v_alt, vx, vx_alt, vy, vy_alt, const
+    code9 = [next(it) for _ in range(9)]
+    nw9 = [next(it) for _ in range(9)]
+    fluid_ref = next(it)
+    v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out = (next(it) for _ in range(6))
+    win_ref, sems, head_sems = next(it), next(it), next(it)
+
+    tj = pl.program_id(0)
+    ti = pl.program_id(1)
+    slot = jax.lax.rem(tj * n_tx + ti, 2)
+    rows, cols = t + 2 * _HB, ty + 2 * _HY
+    # Per-stripe column window [tj·ty − 128, +cols), clamped into the
+    # array; y_cols − cols is a multiple of _HY so the offset stays
+    # DMA-aligned.
+    cs0 = pl.multiple_of(jnp.clip(tj * ty - _HY, 0, y_cols - cols), _HY)
+    ds_c = pl.ds(cs0, cols)
+
+    def plane_dmas(ds_r, r0: int, nr: int, s):
+        dst_r = pl.ds(r0, nr)
+        out = []
+        for a, (ref, (p0, lead)) in enumerate(zip(hbm, _VEL_DMA_PLANES)):
+            if lead is None:
+                src = ref.at[ds_r, ds_c]
+                dst = win_ref.at[s, p0, dst_r]
+            else:
+                src = ref.at[:, ds_r, ds_c]
+                dst = win_ref.at[s, p0 : p0 + lead, dst_r]
+            out.append(pltpu.make_async_copy(src, dst, sems.at[s, a]))
+        return out
+
+    def full_dmas(s):
+        return plane_dmas(pl.ds(0, rows), 0, rows, s)
+
+    def tail_dmas(tin, s):
+        return plane_dmas(pl.ds(_slide_tail_start(tin, t, x_rows), t), 2 * _HB, t, s)
+
+    def col_fix(s, r0: int):
+        # Lane realign of the freshly fetched rows [r0, rows): at the two
+        # stripe ends the clamped column offset shifts the fetched window
+        # by one lane block; shift back in place and replicate the true
+        # edge column (raw clamp-to-edge — the _dma_window_fixes pattern,
+        # restricted to the fresh rows). n_ty ≥ 2 is guaranteed by the
+        # fit constraint y ≥ ty + 2·_HY, so the two branches are disjoint.
+        @pl.when(tj == 0)
+        def _():
+            for k in range(_VEL_DMA_NPLANES):
+                body = win_ref[s, k, r0:, : cols - _HY]
+                win_ref[s, k, r0:, _HY:] = body
+                win_ref[s, k, r0:, :_HY] = jnp.repeat(
+                    win_ref[s, k, r0:, _HY : _HY + 1], _HY, axis=1
+                )
+
+        @pl.when(tj == n_ty - 1)
+        def _():
+            for k in range(_VEL_DMA_NPLANES):
+                body = win_ref[s, k, r0:, _HY:]
+                win_ref[s, k, r0:, : cols - _HY] = body
+                win_ref[s, k, r0:, cols - _HY :] = jnp.repeat(
+                    win_ref[s, k, r0:, cols - _HY - 1 : cols - _HY], _HY, axis=1
+                )
+
+    _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_tx, t, slot,
+                 head_sems=head_sems,
+                 fix_full=lambda s: col_fix(s, 0),
+                 fix_tail=lambda s: col_fix(s, 2 * _HB))
+
+    def w(p0, lead, hx):
+        r0, r1 = _HB - hx, _HB + t + hx
+        if lead is None:
+            return win_ref[slot, p0, r0:r1, :]
+        return win_ref[slot, p0 : p0 + lead, r0:r1, :]
+
+    e2i = lambda r9, hx: _ext2d(  # noqa: E731
+        [r[:].astype(jnp.int32) for r in r9], ti, tj, n_tx, n_ty, hx
+    )
+    ve, pe, vae = w(0, 2, 5), w(2, None, 3), w(3, 2, 2)
+    vxe, vxae, vye, vyae = w(5, 2, 1), w(7, 2, 1), w(9, 2, 1), w(11, 2, 1)
+    conste = w(13, 2, 3)
+    codee = e2i(code9, 3)
+    nwe = e2i(nw9, 2)
+    fluid = fluid_ref[:] != 0
+
+    cs_ = lambda a: a[..., :, _HY : _HY + ty]  # noqa: E731
+    _cip_velocity_body(
+        ti, n_tx, re, dt, dx,
+        ve, pe, vae, vxe, vxae, vye, vyae, codee, conste, nwe, fluid,
+        v_out, vx_out, vy_out, vna_out, vxna_out, vyna_out, cs_,
+    )
+
+
+def _pick_tile2d_slide(x: int, y: int):
+    """(t, ty) for the row-sliding velocity kernel: the alignment and
+    window-fit constraints of :func:`_pick_tile2d_dma` (plus ≥2 row
+    tiles so the window actually slides), with :func:`pick_tile2d`'s
+    window-amplification objective. A bytes-minimal objective (largest
+    ty → (8, 2048)) was measured and LOSES: 27.3 vs 29.4 steps/s at
+    res=4096 — with n_ty=2 every stripe is an edge stripe, so every
+    interior tile pays the 15-plane lane-fix shift, and the t=8 row
+    windows amplify the VPU-side work 2.25×. The amp objective picks
+    (16, 1024), measured at parity with the full-window kernel
+    (29.5 vs 29.4) while shipping ~45% fewer velocity-phase bytes
+    (docs/BENCH.md ledger). VMEM model identical to the full-window
+    kernel's (the window scratch is the same shape)."""
+    if y % _HY or x % _HB:
+        return None
+
+    def cost(t: int, ty: int) -> int:
+        rows, cols = t + 2 * _HB, ty + 2 * _HY
+        win = 2 * _VEL_DMA_NPLANES * rows * cols
+        i8_blocks = 2 * 2 * (t * ty + 2 * _HB * ty + 2 * t * _HY + 4 * _HB * _HY) // 4
+        outs = 2 * 13 * t * ty
+        stack = 60 * t * cols
+        return 4 * (win + i8_blocks + outs + stack)
+
+    tile = pick_tile2d(x, y, cost, halo_x=5)
+    if tile is None:
+        return None
+    t, ty = tile
+    if y < ty + 2 * _HY or x < t + 2 * _HB or x // t < 2:
+        return None
+    return t, ty
+
+
+def _cip_velocity_phase_2d_slide(
+    v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+    *, tile: tuple[int, int] | None = None, interpret: bool = False,
+):
+    x_rows, y_cols = p.shape
+    tile = tile or _pick_tile2d_slide(x_rows, y_cols)
+    if tile is None:
+        msg = f"no valid sliding-window tile for grid ({x_rows}, {y_cols})"
+        raise PallasInfeasibleError(msg)
+    t, ty = tile
+    n_tx, n_ty = x_rows // t, y_cols // ty
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    h9t = lambda: _halo9_specs(t, ty, n_tx, n_ty, None, transposed=True)  # noqa: E731
+    specs = (
+        [any_spec] * 8 + h9t() + h9t()
+        + [_center2d_spec(t, ty, None, transposed=True)]
+    )
+    args = (
+        [v, p, v_alt, vx, vx_alt, vy, vy_alt, scene.bc_const]
+        + [scene.vbc_code] * 9 + [scene.not_wall8] * 9 + [scene.fluid8]
+    )
+    rows, cols = t + 2 * _HB, ty + 2 * _HY
+    slide_rows = rows + (n_tx - 1) * t
+    log_traffic(
+        "cip_velocity_2d",
+        _VEL_DMA_NPLANES * slide_rows * cols * 4 * n_ty
+        + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
+        + center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 12 * center_bytes(x_rows, y_cols, None),
+    )
+
+    kernel = functools.partial(
+        _cip_velocity_kernel_2d_slide, n_tx, n_ty, t, ty, x_rows, y_cols, re, dt, dx
+    )
+    out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_ty, n_tx),
+        in_specs=specs,
+        out_specs=[_center2d_spec(t, ty, 2, transposed=True)] * 6,
+        out_shape=[out_sd] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, len(_VEL_DMA_PLANES))),
+            pltpu.SemaphoreType.DMA(2),
         ],
         interpret=interpret,
     )(*args)

@@ -392,7 +392,12 @@ def _slide_tail_start(tin, t: int, x_rows: int):
 
 
 def _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t: int, t: int, slot,
-                 head_sems=None):
+                 head_sems=None, fix_full=None, fix_tail=None):
+    """`fix_full(slot)` / `fix_tail(slot)` (optional) post-process the
+    freshly fetched data (e.g. lane-edge realignment in 2-D kernels):
+    fix_full after the full fetch's row realign at ti==0; fix_tail on
+    the tail rows [16:) after their wait — both BEFORE the next head
+    DMA is issued, since it reads rows [t, t+16) ⊆ the fixed region."""
     rows = t + 2 * _HB
 
     def head_dma(s):
@@ -419,11 +424,15 @@ def _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t: int, t: int, slot,
         win_ref[slot, :, :_HB, :] = jnp.repeat(
             win_ref[slot, :, _HB : _HB + 1, :], _HB, axis=1
         )
+        if fix_full is not None:
+            fix_full(slot)
 
     @pl.when(ti > 0)
     def _():
         for d in tail_dmas(ti, slot):
             d.wait()
+        if fix_tail is not None:
+            fix_tail(slot)
         if head_sems is not None:
             head_dma(slot).wait()
         else:
@@ -507,18 +516,39 @@ def _wext(F, ti, n_t: int, t: int, hx: int, h: int = _HB):
 # edge, which no scene has — the y edges are walls, see docs/PARITY.md §3).
 
 
-def _center2d_spec(t: int, ty: int, lead: int | None):
+def _center2d_spec(t: int, ty: int, lead: int | None, transposed: bool = False):
+    if transposed:
+        if lead is None:
+            return pl.BlockSpec((t, ty), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (lead, t, ty), lambda j, i: (0, i, j), memory_space=pltpu.VMEM
+        )
     if lead is None:
         return pl.BlockSpec((t, ty), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     return pl.BlockSpec((lead, t, ty), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
 
 
-def _halo9_specs(t: int, ty: int, n_tx: int, n_ty: int, lead: int | None):
-    """Nine BlockSpecs (cur, x±, y±, four corners) for one stencil input."""
+def _halo9_specs(t: int, ty: int, n_tx: int, n_ty: int, lead: int | None,
+                 transposed: bool = False):
+    """Nine BlockSpecs (cur, x±, y±, four corners) for one stencil input.
+
+    `transposed` → the grid is (n_ty, n_tx) with the ROW index minor
+    (the row-sliding 2-D kernels); index maps swap their arguments."""
     tb = t // _HB
     tyb = ty // _HY
 
     def spec(shape2, row_map, col_map):
+        if transposed:
+            if lead is None:
+                return pl.BlockSpec(
+                    shape2, lambda j, i: (row_map(i), col_map(j)),
+                    memory_space=pltpu.VMEM,
+                )
+            return pl.BlockSpec(
+                (lead, *shape2),
+                lambda j, i: (0, row_map(i), col_map(j)),
+                memory_space=pltpu.VMEM,
+            )
         if lead is None:
             return pl.BlockSpec(
                 shape2, lambda i, j: (row_map(i), col_map(j)), memory_space=pltpu.VMEM

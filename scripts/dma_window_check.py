@@ -60,18 +60,23 @@ def main() -> None:
 
     ref9 = run(ph._cip_velocity_phase_2d)
     dma = run(ph._cip_velocity_phase_2d_dma, tile=(args.t, args.ty))
-    oned = run(ph.cip_velocity_phase_pallas, dma_windows=False)
+    slide = run(ph._cip_velocity_phase_2d_slide, tile=(args.t, args.ty))
+    oned = run(ph.cip_velocity_phase_pallas, dma_windows=False, dma_slide=False)
 
     names = ["v", "vx", "vy", "v_na", "vx_na", "vy_na"]
-    for name, a, b, c in zip(names, ref9, dma, oned):
+    for name, a, b, s, c in zip(names, ref9, dma, slide, oned):
         scale = max(1.0, float(np.abs(a).max()))
         np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=0,
                                    err_msg=f"dma vs 9-block: {name}")
+        np.testing.assert_allclose(s, a, atol=1e-6 * scale, rtol=0,
+                                   err_msg=f"slide vs 9-block: {name}")
         np.testing.assert_allclose(b, c, atol=1e-6 * scale, rtol=0,
                                    err_msg=f"dma vs 1-D: {name}")
         exact = "bitwise" if (a == b).all() else f"max|Δ|={np.abs(a - b).max():.2e}"
-        print(f"  {name:6s}: dma == 9-block ({exact}), == 1-D row-tiled")
-    print(f"DMA-window kernel OK on ({args.x}, {args.y}) tile=({args.t},{args.ty})")
+        sexact = "bitwise" if (a == s).all() else f"max|Δ|={np.abs(a - s).max():.2e}"
+        print(f"  {name:6s}: dma == 9-block ({exact}), slide == 9-block "
+              f"({sexact}), == 1-D row-tiled")
+    print(f"DMA-window kernels OK on ({args.x}, {args.y}) tile=({args.t},{args.ty})")
 
 
 if __name__ == "__main__":

@@ -96,13 +96,16 @@ def main() -> None:
     p.add_argument("--variant", required=True,
                    choices=["mac-dye-cgrid", "cip-vel-cgrid",
                             "cip-dye-storder", "cip-dye-tile", "cip-vel-dma",
-                            "cip-dye-win", "cip-vel-win", "cip-dye-slide"])
+                            "cip-dye-win", "cip-vel-win", "cip-dye-slide",
+                            "cip-vel-slide"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--bc", type=int, default=2)
     p.add_argument("--tiles", type=str, default="32,40,48",
                    help="comma list of tile_x values for cip-dye-tile")
+    p.add_argument("--force-tile2d", type=str, default=None,
+                   help="T,TY tile override for the cip-vel-slide arm")
     p.add_argument("--force-tile", type=int, default=None,
                    help="pass tile_x to the variant arm (bypass the VMEM "
                         "cost model — Mosaic may still refuse to compile)")
@@ -194,8 +197,32 @@ def main() -> None:
 
         orig = ph.cip_velocity_phase_pallas
         for label, flag in (("9-block", False), ("dma-window", True)):
-            mod.cip_velocity_phase_pallas = functools.partial(orig, dma_windows=flag)
+            mod.cip_velocity_phase_pallas = functools.partial(
+                orig, dma_windows=flag, dma_slide=False)
             report(label, lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_velocity_phase_pallas = orig
+        return
+
+    if args.variant == "cip-vel-slide":
+        # Row-sliding vs full-window DMA fetch in the 2-D velocity
+        # kernel (interleaved rounds: both arms see the same tunnel
+        # window). Optional --force-tile2d T,TY pins the slide arm's tile.
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_velocity_phase_pallas
+        tile2d = (tuple(int(x) for x in args.force_tile2d.split(","))
+                  if args.force_tile2d else None)
+
+        def slide_arm(*a, interpret=False):
+            return ph._cip_velocity_phase_2d_slide(*a, tile=tile2d,
+                                                   interpret=interpret)
+
+        label_s = f"sliding {tile2d or '(auto)'}"
+        for rnd in range(2):
+            for label, fn in (("full-win", functools.partial(orig, dma_slide=False)),
+                              (label_s, slide_arm)):
+                mod.cip_velocity_phase_pallas = fn
+                report(f"{label} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
         mod.cip_velocity_phase_pallas = orig
         return
 

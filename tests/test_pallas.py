@@ -296,6 +296,36 @@ def test_cip_velocity_dma_window_matches_9block():
         np.testing.assert_array_equal(np.asarray(p_), np.asarray(q), err_msg=n)
 
 
+def test_cip_velocity_2d_slide_matches_9block():
+    """The row-sliding 2-D velocity kernel (transposed grid, t-new-rows
+    fetch per interior tile, lane fixes via the _slide_fetch hooks) is
+    bit-identical to the 9-block kernel. Grid (24, 384) with tile
+    (8, 128): 3×3 tiles, so every branch runs — sweep-start full fetch,
+    interior tail fetch + head copy, last-tile realign, and both
+    stripe-end lane fixes (y == ty + 2·_HY exact fit). On-TPU witness:
+    scripts/dma_window_check.py --slide."""
+    import fluid2d_tpu.ops.pallas_phases as ph
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    x, y = 24, 384
+    bc_const, mask, bc_dye = build_scene_arrays(2, y)
+    scene = compile_scene(bc_const[:x], mask[:x], bc_dye[:x])
+    rng = np.random.default_rng(11)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32))  # noqa: E731
+    v, va = f32(2, x, y), f32(2, x, y)
+    vx, vxa, vy, vya = (f32(2, x, y) * 0.1 for _ in range(4))
+    pr = f32(x, y)
+    re, dt, dx = 1000.0, 0.05 / y, 1.0 / y
+
+    a = ph._cip_velocity_phase_2d(v, pr, va, vx, vxa, vy, vya, scene,
+                                  re, dt, dx, interpret=True)
+    b = ph._cip_velocity_phase_2d_slide(v, pr, va, vx, vxa, vy, vya, scene,
+                                        re, dt, dx, tile=(8, 128), interpret=True)
+    for n, p_, q in zip(("v", "vx", "vy", "vna", "vxna", "vyna"), a, b):
+        np.testing.assert_array_equal(np.asarray(p_), np.asarray(q), err_msg=n)
+
+
 @pytest.mark.parametrize("scheme", ["cip", "upwind", "kk"])
 @pytest.mark.parametrize("num", [1, 2])
 def test_full_step_pallas_interpret_matches_xla(scheme, num):
@@ -532,6 +562,39 @@ def test_confinement_sliding_window_matches_triples():
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]),
                                       err_msg=f"tile={tile}")
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_cip_velocity_sliding_window_matches_triples():
+    """The 1-D sliding-window CIP velocity kernel (eight f32 planes in
+    double-buffered VMEM scratch, t new rows per interior tile) computes
+    exactly what the folded triple-fetch kernel does at a 128-aligned
+    lane width (both the auto tile and the t=8 frontier tile)."""
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.ops.pallas_phases import cip_velocity_phase_pallas
+    from fluid2d_tpu.scenes.compile import get_scene
+
+    rng = np.random.default_rng(13)
+    res = 128
+    cfg = SimConfig.create(resolution=res, scheme="cip", enable_dye=False)
+    scene = get_scene(2, res)
+    shp2 = (2, 2 * res, res)
+    v, va = (jnp.asarray(0.5 * rng.standard_normal(shp2), jnp.float32)
+             for _ in range(2))
+    vx, vxa, vy, vya = (jnp.asarray(0.1 * rng.standard_normal(shp2), jnp.float32)
+                        for _ in range(4))
+    p = jnp.asarray(0.3 * rng.standard_normal((2 * res, res)), jnp.float32)
+
+    names = ("v", "vx", "vy", "vna", "vxna", "vyna")
+    for tile in (None, 8):
+        a = cip_velocity_phase_pallas(v, p, va, vx, vxa, vy, vya, scene,
+                                      1000.0, cfg.dt, cfg.dx, tile_x=tile,
+                                      sliding=False, interpret=True)
+        b = cip_velocity_phase_pallas(v, p, va, vx, vxa, vy, vya, scene,
+                                      1000.0, cfg.dt, cfg.dx, tile_x=tile,
+                                      sliding=True, interpret=True)
+        for n, x, y in zip(names, a, b):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{n} tile={tile}")
 
 
 @pytest.mark.parametrize("scheme", ["upwind", "kk"])
