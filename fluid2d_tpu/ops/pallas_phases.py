@@ -535,10 +535,16 @@ def cip_velocity_phase_pallas(
     n_t = x_rows // t
 
     # Sliding-window fetch for the eight f32 arrays (manual DMAs: needs
-    # a 128-aligned lane width). Same default-ON-where-legal policy as
-    # the other 1-D sliding kernels; res=1600 (lane 1600) is unaffected.
+    # a 128-aligned lane width). Default OFF — unlike the other 1-D
+    # sliding kernels, this one measured a consistent LOSS at res=1664
+    # (192.6 vs 197.9 steps/s, interleaved A/B, `--variant
+    # cip-vel-slide1d`): at the velocity kernel's 15-plane window the
+    # (2, 15, t+16, Y) scratch squeezes the pipeline's double-buffering
+    # headroom and the 8-descriptor issue serializes against compute.
+    # Selectable for future re-measurement; bitwise vs triples
+    # (tests/test_pallas.py).
     if sliding is None:
-        sliding = True
+        sliding = False
     if sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2:
         rows = t + 2 * _HB
         any_spec = pl.BlockSpec(memory_space=pl.ANY)

@@ -97,7 +97,7 @@ def main() -> None:
                    choices=["mac-dye-cgrid", "cip-vel-cgrid",
                             "cip-dye-storder", "cip-dye-tile", "cip-vel-dma",
                             "cip-dye-win", "cip-vel-win", "cip-dye-slide",
-                            "cip-vel-slide"])
+                            "cip-vel-slide", "cip-vel-slide1d"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
@@ -200,6 +200,20 @@ def main() -> None:
             mod.cip_velocity_phase_pallas = functools.partial(
                 orig, dma_windows=flag, dma_slide=False)
             report(label, lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_velocity_phase_pallas = orig
+        return
+
+    if args.variant == "cip-vel-slide1d":
+        # 1-D sliding-window velocity kernel vs the folded triple-fetch
+        # one, at a 128-aligned lane width where the 1-D path is
+        # feasible (interleaved rounds).
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_velocity_phase_pallas
+        for rnd in range(2):
+            for label, flag in (("triples", False), ("sliding", True)):
+                mod.cip_velocity_phase_pallas = functools.partial(orig, sliding=flag)
+                report(f"{label} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
         mod.cip_velocity_phase_pallas = orig
         return
 
