@@ -22,7 +22,9 @@ def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=
     import jax
 
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
 
+    raise_scoped_vmem()  # before the first TPU compile (see tpu_flags)
     enable_compile_cache()  # amortize the res≥1600 compiles across runs
 
     from fluid2d_tpu.config import SimConfig

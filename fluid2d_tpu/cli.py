@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Persistent XLA compilation cache directory "
                              "('auto' → ~/.cache/fluid2d_tpu/xla; 'off' disables). "
                              "Amortizes the 20-40 s first compile across runs")
+    parser.add_argument("--scoped-vmem", type=int, default=24576,
+                        help="TPU scoped-VMEM limit in KiB requested via "
+                             "LIBTPU_INIT_ARGS (0 keeps the 16384 default; "
+                             "larger limits unlock measured-faster kernel "
+                             "tiles — docs/BENCH.md)")
     return parser
 
 
@@ -145,6 +150,11 @@ def main(argv: list[str] | None = None) -> None:
         # accelerator backends; setting the config directly always wins as
         # long as no backend has been touched yet.
         jax.config.update("jax_platforms", "cpu")
+
+    if args.scoped_vmem:
+        from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+        raise_scoped_vmem(args.scoped_vmem)  # before the first TPU compile
 
     if args.compile_cache != "off":
         # enable_compile_cache is itself TPU-only (it checks the RESOLVED

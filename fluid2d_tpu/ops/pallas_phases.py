@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fluid2d_tpu.ops.pallas_stencil import (
     PallasInfeasibleError,
+    _check_tile,
     _HB,
     _HY,
     _center2d_spec,
@@ -487,14 +488,16 @@ def cip_velocity_phase_pallas(
     def cost_rows(t: int) -> float:
         # 15 f32 halo channels (v 2, p 1, v_alt 2, grads+alts 8, const 2)
         # + i8 codes/masks + 12 output channels + fluid, plus stack. The
-        # stack coefficient was recalibrated after the round-2 slab-form
-        # reclamps + hoisted velocity context shrank the live set:
-        # t=16 at Y=1600 compiles AND measures +7% end-to-end (157 vs
-        # 146 steps/s, docs/BENCH.md ledger).
+        # stack coefficient pins BOTH measured frontiers: at the 16 MiB
+        # default limit t=16 compiles (+7%, 157 vs 146) and t=24 is
+        # rejected; at the raised 24 MiB limit t=32 compiles AND wins
+        # (+9%, 257.0 vs 235.8 auto, `--variant cip-vel-tile`) while
+        # t=48 fails Mosaic compilation — coefficient 38 reproduces
+        # exactly that boundary (55 would reject the measured-best t=32).
         blocks = 15.5 * (t + 2 * _HB) + 12.25 * t
-        return 2 * blocks + 55 * t
+        return 2 * blocks + 38 * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     # channel_grid=None keeps the measured dispatch (folded 1-D, else
     # 2-D); True forces the c-minor layout. Not auto-tried on folded-
     # infeasible grids until it is benchmarked there: feasibility ≠ perf
@@ -531,6 +534,19 @@ def cip_velocity_phase_pallas(
                 )
         return _cip_velocity_phase_2d(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
+        )
+    if (tile_x is None and t <= _HB and dma_windows is None
+            and dma_slide is None
+            and _pick_tile2d_slide(x_rows, y_cols) is not None):
+        # Measured at res=4096 under the raised scoped-VMEM limit: the
+        # 1-D kernel now COMPILES at t=8 but loses to the row-sliding
+        # 2-D kernel (30.6 vs 31.7 steps/s, `--variant cip-vel-tile
+        # --tiles 8`) — a t=8 row window amplifies the VPU-side work
+        # 2.25× while the 2-D tile runs t=16. Prefer 2-D when the 1-D
+        # pick is VMEM-starved down to one halo block.
+        return _cip_velocity_phase_2d_slide(
+            v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
+            interpret=interpret,
         )
     n_t = x_rows // t
 
@@ -647,7 +663,7 @@ def _cip_velocity_phase_cgrid(
         scratch = 4 * (t + 4) + 10 * t
         return 2 * blocks + scratch + 25 * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
         msg = f"no valid cgrid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)
@@ -1330,22 +1346,42 @@ def _cip_dye_kernel_win(
 _DYE_SLIDE_NPLANES = 9
 
 
+class _row_view:
+    """Output-ref adapter writing a [r0, r0+n) row slice of each stored
+    block — lets `_cip_dye_body` store one SUBTILE of a taller output
+    block unchanged."""
+
+    __slots__ = ("ref", "r0", "n")
+
+    def __init__(self, ref, r0: int, n: int):
+        self.ref, self.r0, self.n = ref, r0, n
+
+    def __setitem__(self, key, val):
+        self.ref[key, self.r0 : self.r0 + self.n] = val
+
+
 def _cip_dye_kernel_slide(
-    n_t: int, t: int, x_rows: int, re: float, dt: float, dx: float,
+    n_t: int, t: int, sub: int, x_rows: int, re: float, dt: float, dx: float,
     d_h, da_h, dx_h, dxa_h, dy_h, dya_h, bcd_h, vel_h,
     inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
     d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
     win_ref, sems, head_sems,
 ):
+    """`sub` subtiles per program: the DMA tile is T = sub·t (bigger
+    strided chunks — the t=8 fetch geometry caps at ~450-550 GB/s per
+    the DMA-rows sweep — and 1/sub the program-issue overhead) while the
+    compute runs `sub` sequential t-row passes, keeping the Mosaic
+    expression stack at the t-row frontier."""
     c = pl.program_id(0)
     ti = pl.program_id(1)
     g = c * n_t + ti
     slot = jax.lax.rem(g, 2)
-    rows = t + 2 * _HB
+    T = sub * t
+    rows = T + 2 * _HB
     per_ch = (d_h, da_h, dx_h, dxa_h, dy_h, dya_h, bcd_h)
 
     def full_dmas(ci, s):
-        # The whole clamped window rows [0, t+16) — sweep starts only.
+        # The whole clamped window rows [0, T+16) — sweep starts only.
         out = []
         for k, ref in enumerate(per_ch):
             out.append(pltpu.make_async_copy(
@@ -1357,10 +1393,10 @@ def _cip_dye_kernel_slide(
         return out
 
     def tail_dmas(ci, tin, s):
-        # The t NEW rows [tin·t+8, tin·t+t+8) (start clamped to x−t at
+        # The T NEW rows [tin·T+8, tin·T+T+8) (start clamped to x−T at
         # the last tile; realigned there by _slide_fetch).
-        ds = pl.ds(_slide_tail_start(tin, t, x_rows), t)
-        dst_rows = pl.ds(2 * _HB, t)
+        ds = pl.ds(_slide_tail_start(tin, T, x_rows), T)
+        dst_rows = pl.ds(2 * _HB, T)
         out = []
         for k, ref in enumerate(per_ch):
             out.append(pltpu.make_async_copy(
@@ -1372,46 +1408,82 @@ def _cip_dye_kernel_slide(
         return out
 
     _slide_fetch(win_ref, functools.partial(full_dmas, c),
-                 functools.partial(tail_dmas, c), ti, n_t, t, slot,
+                 functools.partial(tail_dmas, c), ti, n_t, T, slot,
                  head_sems=head_sems)
 
     keys = {"d": 0, "da": 1, "dx": 2, "dxa": 3, "dy": 4, "dya": 5, "bcd": 6}
 
-    def win(key, hx):
-        k = keys[key]
-        return win_ref[slot, k, _HB - hx : _HB + t + hx, :]
+    inflowe_T = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
+    nwe_T = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    fluid_T = fluid_ref[:] != 0
+    outs = (d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out)
 
-    vele = win_ref[slot, 7:9, _HB - 1 : _HB + t + 1, :]
-    vctx = cip_velocity_ctx(vele[0], vele[1], dt, dx)
+    for s in range(sub):
+        r0 = s * t
 
-    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
-    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
-    fluid = fluid_ref[:] != 0
+        def win(key, hx, r0=r0):
+            k = keys[key]
+            return win_ref[slot, k, _HB + r0 - hx : _HB + r0 + t + hx, :]
 
-    _cip_dye_body(ti, n_t, re, dt, dx, win, vctx, inflowe, nwe, fluid,
-                  d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out, lambda a: a)
+        vele = win_ref[slot, 7:9, _HB + r0 - 1 : _HB + r0 + t + 1, :]
+        vctx = cip_velocity_ctx(vele[0], vele[1], dt, dx)
+        # Virtual t-row tile index: _reclamp's grid-edge predicates hold
+        # exactly for (first tile, first subtile) / (last, last).
+        ti_v = ti * sub + s
+        _cip_dye_body(
+            ti_v, n_t * sub, re, dt, dx, win, vctx,
+            inflowe_T[r0 : r0 + t + 6], nwe_T[r0 : r0 + t + 4],
+            fluid_T[r0 : r0 + t],
+            *(_row_view(o, r0, t) for o in outs), lambda a: a,
+        )
+
+
+def _dye_slide_subtiles(t: int, x_rows: int, y_cols: int) -> int:
+    """Largest `sub` whose T = sub·t window + outputs + stack fit the
+    scoped-VMEM limit (the compute stack stays t-row — only the DMA
+    tile grows). Calibrated against the measured frontier: t=8 sub=2 at
+    Y=4096 needs 16.61 MB (Mosaic's own figure) — rejected at the
+    16 MiB default limit, selected (and measured +3.5% end-to-end) at
+    the raised 24 MiB limit (utils/tpu_flags.raise_scoped_vmem)."""
+    from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
+
+    # The row model underestimates Mosaic's scoped figure by ~0.8 MB at
+    # the calibration point; budget with a 1.3 MB margin.
+    rows_budget = (scoped_vmem_bytes() - 1_300_000) / (y_cols * 4)
+    for sub in (4, 2, 1):
+        T = sub * t
+        if x_rows % T or x_rows < T + 2 * _HB or x_rows // T < 2:
+            continue
+        win = 2 * _DYE_SLIDE_NPLANES * (T + 2 * _HB)
+        outs = 2 * 6 * T
+        i8 = 2 * 0.6 * (T + 2 * _HB)
+        if win + outs + i8 + 20 * t <= rows_budget:
+            return sub
+    return 1
 
 
 def _cip_dye_phase_slide(
     dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
-    *, tile_x: int, interpret: bool = False,
+    *, tile_x: int, subtiles: int | None = None, interpret: bool = False,
 ):
     chans, x_rows, y_cols = dye.shape
     t = tile_x
-    n_t = x_rows // t
-    rows = t + 2 * _HB
+    sub = subtiles or _dye_slide_subtiles(t, x_rows, y_cols)
+    T = sub * t
+    n_t = x_rows // T
+    rows = T + 2 * _HB
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    i8 = lambda: _halo_triple_specs_cgrid2(t, y_cols, n_t, None)  # noqa: E731
-    specs = [any_spec] * 8 + i8() + i8() + [_center_spec_cgrid2(t, y_cols, None)]
+    i8 = lambda: _halo_triple_specs_cgrid2(T, y_cols, n_t, None)  # noqa: E731
+    specs = [any_spec] * 8 + i8() + i8() + [_center_spec_cgrid2(T, y_cols, None)]
     args = (
         [dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, scene.bc_dye, vel]
         + [scene.inflow8] * 3 + [scene.not_wall8] * 3 + [scene.fluid8]
     )
-    # Bytes: per-channel planes slide (one full window per sweep + t new
+    # Bytes: per-channel planes slide (one full window per sweep + T new
     # rows per interior tile ≈ 1× amplification); vel re-slides per
     # channel sweep; int8 masks keep triple amplification × chans sweeps.
-    slide_rows = rows + (n_t - 1) * t
+    slide_rows = rows + (n_t - 1) * T
     log_traffic(
         "cip_dye",
         (7 * chans + 2 * chans) * slide_rows * y_cols * 4
@@ -1420,14 +1492,14 @@ def _cip_dye_phase_slide(
         + 6 * chans * center_bytes(x_rows, y_cols, None),
     )
 
-    kernel = functools.partial(_cip_dye_kernel_slide, n_t, t, x_rows, re, dt, dx)
+    kernel = functools.partial(_cip_dye_kernel_slide, n_t, t, sub, x_rows, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
 
     return pl.pallas_call(
         kernel,
         grid=(chans, n_t),
         in_specs=specs,
-        out_specs=[_center_spec_cgrid2(t, y_cols, "c")] * 6,
+        out_specs=[_center_spec_cgrid2(T, y_cols, "c")] * 6,
         out_shape=[out_sd] * 6,
         scratch_shapes=[
             pltpu.VMEM((2, _DYE_SLIDE_NPLANES, rows, y_cols), jnp.float32),
@@ -1478,7 +1550,8 @@ def cip_dye_phase_pallas(
     dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene,
     re: float, dt: float, dx: float,
     *, tile_x: int | None = None, window_inputs: bool | None = None,
-    sliding: bool | None = None, interpret: bool = False,
+    sliding: bool | None = None, subtiles: int | None = None,
+    interpret: bool = False,
 ):
     """Whole CIP dye phase (BC + diffusion + grads + advection + clamp).
 
@@ -1509,7 +1582,7 @@ def cip_dye_phase_pallas(
         blocks = 9 * (t + 2 * _HB) + 0.6 * (t + 2 * _HB) + 6 * t + 0.25 * t
         return 2 * blocks + 10 * t + 20 * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
         return _cip_dye_phase_2d(
             dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
@@ -1528,7 +1601,7 @@ def cip_dye_phase_pallas(
     if sliding and can_slide:
         return _cip_dye_phase_slide(
             dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
-            tile_x=t, interpret=interpret,
+            tile_x=t, subtiles=subtiles, interpret=interpret,
         )
 
     # Window fetch needs the whole (t+16, Y) window inside the array.
@@ -1731,7 +1804,7 @@ def confinement_pallas(
         blocks = 2 * (t + 2 * _HB) + 2 * t + 0.3 * (t + 2 * _HB) + 2 * t
         return 2 * blocks + 30 * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
         msg = f"no valid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)
@@ -1903,7 +1976,7 @@ def mac_velocity_phase_pallas(
         blocks = 7 * (t + 2 * _HB) + 0.3 * (t + 2 * _HB) + 4 * t + 0.25 * t
         return 2 * blocks + 40 * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
         msg = f"no valid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)
@@ -2087,7 +2160,7 @@ def mac_dye_phase_pallas(
         blocks = 2 * per_ch * (t + 2 * _HB) + 0.3 * (t + 2 * _HB) + (3 * per_ch + 2) * t
         return 2 * blocks + 30 * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
         msg = f"no valid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)

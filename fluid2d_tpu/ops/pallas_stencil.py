@@ -113,14 +113,32 @@ def pick_tile(x: int, preferred: int = 128) -> int | None:
     return None
 
 
+def _check_tile(t: int, x_rows: int) -> int:
+    """Validate a caller-forced tile: a non-divisor tile silently leaves
+    the trailing x_rows − (x_rows//t)·t rows of every output UNWRITTEN
+    (the grid covers n_t·t rows), which invalidated a forced-tile
+    measurement before this guard existed (docs/BENCH.md ledger)."""
+    if t % _HB or x_rows % t or x_rows // t < 1:
+        msg = (f"tile_x={t} must be a multiple of {_HB} and divide "
+               f"X={x_rows}; a non-divisor leaves trailing rows unwritten")
+        raise PallasInfeasibleError(msg)
+    return t
+
+
 def _vmem_tile(x: int, y_cols: int, cost_rows, preferred: int = 128) -> int | None:
     """Largest valid tile whose estimated VMEM footprint fits.
 
     `cost_rows(t)` returns the kernel's VMEM use in f32-row-equivalents
     (block buffers are double-buffered by the pipeline; kernel stack
-    temporaries are not). Budget ~14 MB of the 16 MB VMEM.
+    temporaries are not). Budget: the scoped-VMEM limit minus a 2 MB
+    margin — exactly the round-2-calibrated "14 MB of the 16 MB VMEM"
+    at the default limit, and the measured res=1600 frontier at the
+    raised 24 MiB limit (dye t=48 compiles/wins, t=64 fails —
+    utils/tpu_flags, docs/BENCH.md scoped-VMEM ledger rows).
     """
-    budget_rows = 14 * 2**20 / (y_cols * 4)
+    from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
+
+    budget_rows = (scoped_vmem_bytes() - 2 * 2**20) / (y_cols * 4)
     t = pick_tile(x, preferred=preferred)
     while t is not None and cost_rows(t) > budget_rows:
         t = pick_tile(x, preferred=t - 8) if t > 8 else None
@@ -630,7 +648,7 @@ def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int, lh: int = _LH2):
     return full[..., hb - hx : hb + t + hx, :]
 
 
-def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 15_900_000, halo_x: int = 3):
+def pick_tile2d(x: int, y: int, cost_bytes, budget: int | None = None, halo_x: int = 3):
     """(t, ty) with t | x (mult of 8), ty | y (mult of 128), ≥2 tiles per
     axis, minimizing **window-area amplification**
     ``(t + 2·halo_x)(ty + 2·128) / (t·ty)`` subject to the VMEM budget.
@@ -650,7 +668,16 @@ def pick_tile2d(x: int, y: int, cost_bytes, budget: int = 15_900_000, halo_x: in
     stepping by -8/-128 from an unrounded start would yield misaligned
     tiles whose block index maps (in units of _HB/_HY) silently fetch
     the wrong halo columns.
+
+    The default budget (15.9 MB at the 16 MiB scoped-VMEM limit, the
+    round-2 calibration) scales with the limit in effect
+    (utils/tpu_flags): at the raised 24 MiB limit it admits tiles like
+    the velocity (32, 1024) whose raw bytes were previously over-limit.
     """
+    if budget is None:
+        from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
+
+        budget = int(15_900_000 * scoped_vmem_bytes() / (16384 * 1024))
     t_top = (min(128, x // 2) // _HB) * _HB
     ty_top = (min(2048, y // 2) // _HY) * _HY
     t_opts = [t for t in range(t_top, _HB - 1, -_HB) if x % t == 0]
@@ -850,7 +877,7 @@ def cip_advect_pallas(
             blocks += 2 * (t + 2 * _HB)
         return 2 * blocks + 44 * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
         msg = f"no valid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)
@@ -1139,7 +1166,7 @@ def sor_iteration_pallas(
         blocks = 4 * (t + 2 * _HB) + 0.5 * (t + 2 * _HB) + (4 if v_limit else 2) * t
         return 2 * blocks + 24 * n_iters * t
 
-    t = tile_x or _vmem_tile(x_rows, y_cols, cost_rows)
+    t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
     if t is None:
         msg = f"no valid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)

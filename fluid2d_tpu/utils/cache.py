@@ -27,8 +27,16 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         if jax.default_backend() != "tpu":
             return None
         if cache_dir is None:
+            # The scoped-VMEM limit changes which programs compile (and
+            # XLA's fusion sizing) but is not part of XLA's cache key —
+            # keep per-limit cache directories so runs with different
+            # limits never collide.
+            from fluid2d_tpu.utils.tpu_flags import DEFAULT_KIB, scoped_vmem_bytes
+
+            kib = scoped_vmem_bytes() // 1024
+            suffix = "" if kib == DEFAULT_KIB else f"-vmem{kib}"
             cache_dir = os.path.join(
-                os.path.expanduser("~"), ".cache", "fluid2d_tpu", "xla"
+                os.path.expanduser("~"), ".cache", "fluid2d_tpu", "xla" + suffix
             )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

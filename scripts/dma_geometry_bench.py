@@ -236,7 +236,10 @@ def time_scan(call, args, iters: int) -> float:
 
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
     from fluid2d_tpu.utils.profiling import measure_hbm_bandwidth
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     p = argparse.ArgumentParser()

@@ -24,6 +24,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     p = argparse.ArgumentParser()

@@ -27,6 +27,9 @@ from scripts.dma_geometry_sweep import run_case  # noqa: E402
 
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     results: list[dict] = []

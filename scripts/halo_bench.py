@@ -78,6 +78,9 @@ def time_step_on(cfg, scene_slab, steps: int) -> float:
 
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     parser = argparse.ArgumentParser()

@@ -90,6 +90,9 @@ def _cip_dye_body_latestore(
 
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     p = argparse.ArgumentParser()
@@ -97,7 +100,8 @@ def main() -> None:
                    choices=["mac-dye-cgrid", "cip-vel-cgrid",
                             "cip-dye-storder", "cip-dye-tile", "cip-vel-dma",
                             "cip-dye-win", "cip-vel-win", "cip-dye-slide",
-                            "cip-vel-slide", "cip-vel-slide1d"])
+                            "cip-vel-slide", "cip-vel-slide1d", "cip-dye-sub",
+                            "cip-vel-tile"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
@@ -148,6 +152,17 @@ def main() -> None:
             mod.cip_dye_phase_pallas = functools.partial(orig, tile_x=t)
             report(f"t={t}", lambda: time_full_run(cfg, scene, args.steps))
         mod.cip_dye_phase_pallas = orig
+        return
+
+    if args.variant == "cip-vel-tile":
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_velocity_phase_pallas
+        report("auto", lambda: time_full_run(cfg, scene, args.steps))
+        for t in (int(s) for s in args.tiles.split(",")):
+            mod.cip_velocity_phase_pallas = functools.partial(orig, tile_x=t)
+            report(f"t={t}", lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_velocity_phase_pallas = orig
         return
 
     if args.variant == "cip-dye-win":
@@ -201,6 +216,20 @@ def main() -> None:
                 orig, dma_windows=flag, dma_slide=False)
             report(label, lambda: time_full_run(cfg, scene, args.steps))
         mod.cip_velocity_phase_pallas = orig
+        return
+
+    if args.variant == "cip-dye-sub":
+        # Subtiles in the sliding dye kernel: T = sub·t DMA chunks with
+        # t-row compute passes (interleaved rounds).
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_dye_phase_pallas
+        for rnd in range(2):
+            for sub in (1, 2):
+                mod.cip_dye_phase_pallas = functools.partial(
+                    orig, sliding=True, subtiles=sub)
+                report(f"sub={sub} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_dye_phase_pallas = orig
         return
 
     if args.variant == "cip-vel-slide1d":

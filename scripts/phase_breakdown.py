@@ -58,6 +58,9 @@ def ms_per_step(res, steps, **overrides):
 
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     parser = argparse.ArgumentParser()

@@ -27,6 +27,9 @@ def check(name: str, ok: bool, detail: str = "") -> bool:
 
 def main() -> int:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     parser = argparse.ArgumentParser()

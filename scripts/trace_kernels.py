@@ -155,6 +155,9 @@ def parse_trace(logdir: str, steps: int, scheme: str) -> dict:
 
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
 
     enable_compile_cache()
     p = argparse.ArgumentParser()

@@ -507,14 +507,16 @@ def test_cip_dye_sliding_window_matches_triples():
     a = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
                              1000.0, cfg.dt, cfg.dx, interpret=True,
                              window_inputs=False)
-    for tile in (None, 8):  # t=8 is the production tile at res=4096
+    # (tile, subtiles): t=8 is the production tile at res=4096; sub=2
+    # is the bigger-DMA-chunk variant (T=16 fetch, t=8 compute passes).
+    for tile, sub in ((None, None), (8, 1), (8, 2)):
         b = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
                                  1000.0, cfg.dt, cfg.dx, interpret=True,
-                                 sliding=True, tile_x=tile)
+                                 sliding=True, tile_x=tile, subtiles=sub)
         names = ("dye", "dyex", "dyey", "dna", "dxna", "dyna")
         for n, x, y in zip(names, a, b):
             np.testing.assert_array_equal(
-                np.asarray(x), np.asarray(y), err_msg=f"{n} tile={tile}")
+                np.asarray(x), np.asarray(y), err_msg=f"{n} tile={tile} sub={sub}")
 
 
 @pytest.mark.parametrize("n_iters", [1, 2])
