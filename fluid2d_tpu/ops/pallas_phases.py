@@ -1599,9 +1599,16 @@ def cip_dye_phase_pallas(
     if sliding is None:
         sliding = True
     if sliding and can_slide:
+        # Measured compile frontier for the SLIDING kernel specifically:
+        # its Mosaic scoped need is not linear in t (t=16 fits 24 MiB
+        # but t=32 needs 50.25 MB — the generic row model says 37 MB),
+        # so clamp to the largest measured-to-compile-and-win tile
+        # rather than trusting the model past it. t=16 beat t=8+sub2
+        # 35.0 vs 34.1 at res=4096 (docs/BENCH.md scoped-VMEM row).
+        ts = t if tile_x else min(t, 16)
         return _cip_dye_phase_slide(
             dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
-            tile_x=t, subtiles=subtiles, interpret=interpret,
+            tile_x=ts, subtiles=subtiles, interpret=interpret,
         )
 
     # Window fetch needs the whole (t+16, Y) window inside the array.

@@ -671,13 +671,17 @@ def pick_tile2d(x: int, y: int, cost_bytes, budget: int | None = None, halo_x: i
 
     The default budget (15.9 MB at the 16 MiB scoped-VMEM limit, the
     round-2 calibration) scales with the limit in effect
-    (utils/tpu_flags): at the raised 24 MiB limit it admits tiles like
-    the velocity (32, 1024) whose raw bytes were previously over-limit.
+    (utils/tpu_flags) but is CAPPED at the 24 MiB scaling: the 2-D
+    kernels' Mosaic scoped needs outrun the byte model past that point
+    (the dye slide kernel's t=32 needs 50.25 MB vs a 37 MB estimate),
+    and (32, 1024) is the largest 2-D tile measured to compile and win;
+    bigger 2-D tiles must be re-measured before widening this cap.
     """
     if budget is None:
         from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
 
-        budget = int(15_900_000 * scoped_vmem_bytes() / (16384 * 1024))
+        scale = min(scoped_vmem_bytes(), 24576 * 1024) / (16384 * 1024)
+        budget = int(15_900_000 * scale)
     t_top = (min(128, x // 2) // _HB) * _HB
     ty_top = (min(2048, y // 2) // _HY) * _HY
     t_opts = [t for t in range(t_top, _HB - 1, -_HB) if x % t == 0]

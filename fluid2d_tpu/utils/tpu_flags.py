@@ -24,7 +24,13 @@ import re
 __all__ = ["DEFAULT_KIB", "RAISED_KIB", "raise_scoped_vmem", "scoped_vmem_bytes"]
 
 DEFAULT_KIB = 16384
-RAISED_KIB = 24576
+# 48 MiB: the sweep-validated request (res=1600 cip 298.5 / MAC 620/587,
+# res=4096 MAC 84.9/82.6 steps/s). 96 MiB is also ACCEPTED by the chip
+# but plateaus (283.7 vs 288.6 on the same config) — the tile frontier
+# flattens past t=64. Kernels whose Mosaic scoped needs outrun the byte
+# models are clamped at their measured compile frontier instead
+# (the dye slide t≤16 clamp, pick_tile2d's 24 MiB budget cap).
+RAISED_KIB = 49152
 
 _requested_kib: int | None = None
 

@@ -1,5 +1,6 @@
 """utils/profiling: traffic accounting, bandwidth fallback, trace capture."""
 
+import os
 import numpy as np
 
 from fluid2d_tpu.config import SimConfig
@@ -52,3 +53,79 @@ def test_trace_context_writes_profile(tmp_path):
         float(np.asarray(jnp.arange(8.0).sum()))
     files = list(log_dir.rglob("*"))
     assert any(f.is_file() for f in files)
+
+
+def test_scoped_vmem_flag_plumbing(monkeypatch):
+    """raise_scoped_vmem appends the libtpu flag exactly once, respects
+    an externally set value, and scoped_vmem_bytes reflects the request
+    (the tile cost models budget against it)."""
+    import fluid2d_tpu.utils.tpu_flags as tf
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    monkeypatch.setattr(tf, "_requested_kib", None)
+    assert tf.scoped_vmem_bytes() == tf.DEFAULT_KIB * 1024
+
+    assert tf.raise_scoped_vmem() == tf.RAISED_KIB
+    env = os.environ["LIBTPU_INIT_ARGS"]
+    assert f"--xla_tpu_scoped_vmem_limit_kib={tf.RAISED_KIB}" in env
+    assert tf.scoped_vmem_bytes() == tf.RAISED_KIB * 1024
+    # Idempotent: a second call must not duplicate the flag.
+    assert tf.raise_scoped_vmem() == tf.RAISED_KIB
+    assert os.environ["LIBTPU_INIT_ARGS"].count("scoped_vmem_limit_kib") == 1
+
+    # Externally set values win over the default request.
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=20480")
+    monkeypatch.setattr(tf, "_requested_kib", None)
+    assert tf.raise_scoped_vmem() == 20480
+    assert tf.scoped_vmem_bytes() == 20480 * 1024
+
+
+def test_vmem_budgets_follow_scoped_limit(monkeypatch):
+    """_vmem_tile and pick_tile2d budgets scale with the scoped-VMEM
+    limit: the raised limit admits the measured-faster bigger tiles and
+    the default limit reproduces the round-2 frontier."""
+    import fluid2d_tpu.utils.tpu_flags as tf
+    from fluid2d_tpu.ops.pallas_stencil import _vmem_tile, pick_tile2d
+
+    def dye_cost(t):  # the CIP dye cgrid model
+        blocks = 9 * (t + 16) + 0.6 * (t + 16) + 6 * t + 0.25 * t
+        return 2 * blocks + 10 * t + 20 * t
+
+    monkeypatch.setattr(tf, "_requested_kib", tf.DEFAULT_KIB)
+    assert _vmem_tile(3200, 1600, dye_cost) == 32
+
+    monkeypatch.setattr(tf, "_requested_kib", 24576)
+    assert _vmem_tile(3200, 1600, dye_cost) == 40
+
+    monkeypatch.setattr(tf, "_requested_kib", tf.RAISED_KIB)  # 48 MiB
+    assert _vmem_tile(3200, 1600, dye_cost) == 80
+
+    cheap2d = lambda t, ty: 4 * (2 * 15 * (t + 16) * (ty + 256) + 60 * t * (ty + 256))
+    monkeypatch.setattr(tf, "_requested_kib", tf.DEFAULT_KIB)
+    t16, ty16 = pick_tile2d(8192, 4096, cheap2d, halo_x=5)
+    monkeypatch.setattr(tf, "_requested_kib", tf.RAISED_KIB)
+    t24, ty24 = pick_tile2d(8192, 4096, cheap2d, halo_x=5)
+    assert t24 * ty24 >= t16 * ty16  # the raised limit never shrinks tiles
+
+
+def test_forced_tile_must_divide():
+    """A forced tile_x that does not divide X must raise — a non-divisor
+    grid silently leaves trailing output rows unwritten (this exact bug
+    produced an invalid measurement, docs/BENCH.md ledger)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from fluid2d_tpu.ops.pallas_stencil import PallasInfeasibleError, _check_tile
+    from fluid2d_tpu.ops.pallas_phases import confinement_pallas
+
+    assert _check_tile(32, 3200) == 32
+    with pytest.raises(PallasInfeasibleError):
+        _check_tile(48, 3200)  # 48 does not divide 3200
+    with pytest.raises(PallasInfeasibleError):
+        _check_tile(12, 3200)  # not a multiple of 8
+
+    v = jnp.zeros((2, 64, 128), jnp.float32)
+    fluid8 = jnp.ones((64, 128), jnp.int8)
+    with pytest.raises(PallasInfeasibleError):
+        confinement_pallas(v, v, fluid8, 1e-3, 5.0, 1 / 128,
+                           tile_x=24, interpret=True)  # 24 does not divide 64
