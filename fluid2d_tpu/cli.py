@@ -112,7 +112,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Persistent XLA compilation cache directory "
                              "('auto' → ~/.cache/fluid2d_tpu/xla; 'off' disables). "
                              "Amortizes the 20-40 s first compile across runs")
-    parser.add_argument("--scoped-vmem", type=int, default=49152,
+    parser.add_argument("--scoped-vmem", type=int, default=65536,
                         help="TPU scoped-VMEM limit in KiB requested via "
                              "LIBTPU_INIT_ARGS (0 keeps the 16384 default; "
                              "larger limits unlock measured-faster kernel "

@@ -1600,12 +1600,16 @@ def cip_dye_phase_pallas(
         sliding = True
     if sliding and can_slide:
         # Measured compile frontier for the SLIDING kernel specifically:
-        # its Mosaic scoped need is not linear in t (t=16 fits 24 MiB
-        # but t=32 needs 50.25 MB — the generic row model says 37 MB),
-        # so clamp to the largest measured-to-compile-and-win tile
-        # rather than trusting the model past it. t=16 beat t=8+sub2
-        # 35.0 vs 34.1 at res=4096 (docs/BENCH.md scoped-VMEM row).
-        ts = t if tile_x else min(t, 16)
+        # its Mosaic scoped need is not linear in t (t=16 fits 24 MiB,
+        # t=32 needs 50.25 MB — the generic row model says 37 MB), so
+        # clamp to the largest measured-to-compile-and-win tile for the
+        # limit in effect rather than trusting the model past it:
+        # t=16 beat t=8+sub2 35.0 vs 34.1 at res=4096; t=32 at a
+        # ≥53 MB arena beat t=16 41.4 vs 40.7 (docs/BENCH.md).
+        from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
+
+        t_cap = 32 if scoped_vmem_bytes() >= 53 * 2**20 else 16
+        ts = t if tile_x else min(t, t_cap)
         return _cip_dye_phase_slide(
             dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
             tile_x=ts, subtiles=subtiles, interpret=interpret,

@@ -132,13 +132,14 @@ def _vmem_tile(x: int, y_cols: int, cost_rows, preferred: int = 128) -> int | No
     (block buffers are double-buffered by the pipeline; kernel stack
     temporaries are not). Budget: the scoped-VMEM limit minus a 2 MB
     margin — exactly the round-2-calibrated "14 MB of the 16 MB VMEM"
-    at the default limit, and the measured res=1600 frontier at the
-    raised 24 MiB limit (dye t=48 compiles/wins, t=64 fails —
-    utils/tpu_flags, docs/BENCH.md scoped-VMEM ledger rows).
+    at the default limit — CAPPED at the 48 MiB sweep-validated point:
+    larger budgets pick t=128-class tiles that measured SLOWER
+    (utils/tpu_flags.BUDGET_CAP_KIB, docs/BENCH.md scoped-VMEM rows).
     """
-    from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
+    from fluid2d_tpu.utils.tpu_flags import BUDGET_CAP_KIB, scoped_vmem_bytes
 
-    budget_rows = (scoped_vmem_bytes() - 2 * 2**20) / (y_cols * 4)
+    budget = min(scoped_vmem_bytes(), BUDGET_CAP_KIB * 1024) - 2 * 2**20
+    budget_rows = budget / (y_cols * 4)
     t = pick_tile(x, preferred=preferred)
     while t is not None and cost_rows(t) > budget_rows:
         t = pick_tile(x, preferred=t - 8) if t > 8 else None

@@ -24,13 +24,17 @@ import re
 __all__ = ["DEFAULT_KIB", "RAISED_KIB", "raise_scoped_vmem", "scoped_vmem_bytes"]
 
 DEFAULT_KIB = 16384
-# 48 MiB: the sweep-validated request (res=1600 cip 298.5 / MAC 620/587,
-# res=4096 MAC 84.9/82.6 steps/s). 96 MiB is also ACCEPTED by the chip
-# but plateaus (283.7 vs 288.6 on the same config) — the tile frontier
-# flattens past t=64. Kernels whose Mosaic scoped needs outrun the byte
-# models are clamped at their measured compile frontier instead
-# (the dye slide t≤16 clamp, pick_tile2d's 24 MiB budget cap).
-RAISED_KIB = 49152
+# 64 MiB: enough for the res=4096 dye slide t=32 tile (needs ~52 MB;
+# measured +1.8% over t=16, total ~41.4 steps/s). The general tile
+# BUDGETS stay capped at the 48 MiB sweep-validated point
+# (res=1600 cip 299 / MAC 615/613, res=4096 MAC 85.0/82.6) — larger
+# budgets overshoot: 96 MiB's t=128 picks measured SLOWER (283.7 vs
+# 288.6 same-config), and the frontier flattens past t≈64-80. Kernels
+# whose Mosaic scoped needs outrun the byte models are clamped at their
+# measured compile frontiers (the dye slide t clamp, pick_tile2d's
+# 24 MiB budget cap).
+RAISED_KIB = 65536
+BUDGET_CAP_KIB = 49152
 
 _requested_kib: int | None = None
 
