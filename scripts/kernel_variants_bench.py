@@ -101,7 +101,7 @@ def main() -> None:
                             "cip-dye-storder", "cip-dye-tile", "cip-vel-dma",
                             "cip-dye-win", "cip-vel-win", "cip-dye-slide",
                             "cip-vel-slide", "cip-vel-slide1d", "cip-dye-sub",
-                            "cip-vel-tile"])
+                            "cip-vel-tile", "sor-fuse"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
@@ -132,6 +132,20 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report and continue the A/B
             print(f"{args.variant} res={args.res} {scheme} {label:12s}: "
                   f"FAILED ({type(e).__name__}: {e})", flush=True)
+
+    if args.variant == "sor-fuse":
+        # Re-probe of the round-2 fused-pair SOR rejection (143.3 vs
+        # 146.8 at the then-default 16 MiB scoped-VMEM limit): the raised
+        # limit moved every other tile frontier, so the fused kernel's
+        # depth-6 windows may now fit tiles large enough to win.
+        import dataclasses
+
+        for rnd in range(2):
+            for label, fuse in (("chained", 1), ("fused2", 2)):
+                c = dataclasses.replace(cfg, sor_fuse=fuse)
+                report(f"{label} r{rnd}",
+                       lambda c=c: time_full_run(c, scene, args.steps))
+        return
 
     if args.variant == "cip-dye-storder":
         # Arms differ only in where the dye body stores its outputs; the
