@@ -7,9 +7,20 @@ dedup, and Mosaic scheduling all change with the grid shape
 (docs/BENCH.md: the dye channel grid won 13% in 1-D and lost 15% in
 2-D at a different resolution).
 
-Variants:
+Variants (each documented by its ledger entry in docs/BENCH.md):
   mac-dye-cgrid     (n_t, 3) c-minor MAC dye kernel vs channel-folded
   cip-vel-cgrid     (n_t, 2) c-minor CIP velocity kernel vs folded/2-D
+  cip-dye-storder   early vs late output stores in the CIP dye body
+  cip-dye-tile      dye tile_x sweep vs the auto pick (--tiles)
+  cip-vel-tile      velocity tile_x sweep vs the auto pick (--tiles)
+  cip-dye-win       element-offset windows vs halo triples (dye)
+  cip-vel-win       element-offset windows vs halo triples (velocity)
+  cip-dye-slide     sliding-window vs triple-fetch dye (128-aligned Y)
+  cip-dye-sub       DMA subtile count in the sliding dye kernel
+  cip-vel-slide     row-sliding vs full-window 2-D velocity (--force-tile2d)
+  cip-vel-slide1d   1-D sliding velocity vs folded triples (128-aligned Y)
+  cip-vel-dma       DMA-window vs 9-block 2-D velocity assembly
+  sor-fuse          fused-pair SOR kernel vs the chained default
 
 Usage:
   python scripts/kernel_variants_bench.py --variant mac-dye-cgrid \
