@@ -45,15 +45,18 @@ _HB = 8
 def make_case(
     x: int, y: int, t: int, n_in: int = 1, n_out: int = 1,
     triples: bool = False, cgrid: bool = False, packed: bool = False,
-    windows: bool = False,
+    windows: bool = False, merged: bool = False,
 ):
     """A no-op pallas_call: `n_in` DISTINCT input arrays (so XLA cannot
     alias their buffers), each consumed in full; `n_out` broadcast-filled
     outputs. `packed=True` instead packs the n_in planes into ONE
     (n_in, X, Y) array fetched as a single lead-dim block per tile (the
     plane-packing redesign hypothesis: one DMA descriptor per fetch
-    instead of n_in), with one packed output. Returns
-    (call, args, bytes/call)."""
+    instead of n_in), with one packed output. `merged=True` stacks the
+    n_in planes along X into ONE (n_in·X, Y) array read through n_in
+    row-offset BlockSpecs — same block geometry and spec count as the
+    distinct-array case, ONE hbm buffer (does the DMA gate count arrays
+    or BlockSpec streams?). Returns (call, args, bytes/call)."""
     n_t = x // t
 
     if packed:
@@ -93,6 +96,43 @@ def make_case(
         in_specs = [spec] * n_in
         args = arrs
         nbytes = (n_in + n_out) * 3 * x * y * 4
+    elif merged:
+        grid = (n_t,)
+        big = jnp.asarray(np.concatenate(
+            [np.full((x, y), p + 1.0, np.float32) for p in range(n_in)]))
+        if triples:
+            tb = t // _HB
+            in_specs = []
+            for p in range(n_in):
+                r0b = p * n_t * tb  # plane p's row offset in 8-row blocks
+                in_specs += [
+                    pl.BlockSpec((t, y), lambda i, p=p: (p * n_t + i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (_HB, y),
+                        lambda i, r0b=r0b: (r0b + jnp.maximum(i * tb - 1, 0), 0),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (_HB, y),
+                        lambda i, r0b=r0b: (
+                            r0b + jnp.minimum(i * tb + tb, n_t * tb - 1), 0),
+                        memory_space=pltpu.VMEM),
+                ]
+            args = [big] * (3 * n_in)
+            nbytes = n_in * (x + 2 * _HB * n_t) * y * 4 + n_out * x * y * 4
+        else:
+            in_specs = [
+                pl.BlockSpec((t, y), lambda i, p=p: (p * n_t + i, 0),
+                             memory_space=pltpu.VMEM)
+                for p in range(n_in)
+            ]
+            args = [big] * n_in
+            nbytes = (n_in + n_out) * x * y * 4
+        # Output carries the merged shape (time_scan chains outs[0] back
+        # into args[0]); only the plane-0 blocks are written, so the out
+        # stream ships the same x·y·4 bytes as the distinct-array case.
+        out_spec = pl.BlockSpec((t, y), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_sd = jax.ShapeDtypeStruct((n_in * x, y), jnp.float32)
     else:
         arrs = [jnp.asarray(np.full((x, y), i + 1.0, np.float32)) for i in range(n_in)]
         center = pl.BlockSpec((t, y), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -220,68 +260,108 @@ def main() -> None:
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--json", type=str, default=None)
+    p.add_argument("--only", type=str, default=None,
+                   help="comma-separated section names to run "
+                        "(incount,rows,lanes,triples,outs,cgrid,packed,"
+                        "windows,mixes,merged)")
     args = p.parse_args()
 
     x, y = 2 * args.res, args.res
     results: list[dict] = []
+    want = lambda s: args.only is None or s in args.only.split(",")  # noqa: E731
 
     bw = measure_hbm_bandwidth() / 1e9
     print(f"streaming copy reference ((64,2048) blocks, 40 MB): {bw:7.1f} GB/s")
 
-    print(f"\nin-count (t=64, Y={y}, center blocks, 1 out):")
-    for n in (1, 2, 4, 8, 13, 23):
-        run_case(f"n_in={n}", args.iters, results, x=x, y=y, t=64, n_in=n)
+    if want("incount"):
+        print(f"\nin-count (t=64, Y={y}, center blocks, 1 out):")
+        for n in (1, 2, 4, 8, 13, 23):
+            run_case(f"n_in={n}", args.iters, results, x=x, y=y, t=64, n_in=n)
 
-    print(f"\nblock rows (1 in / 1 out, Y={y}):")
-    for t in (8, 16, 32, 64, 128, 256):
-        if x % t == 0:
-            run_case(f"t={t}", args.iters, results, x=x, y=y, t=t)
+    if want("rows"):
+        print(f"\nblock rows (1 in / 1 out, Y={y}):")
+        for t in (8, 16, 32, 64, 128, 256):
+            if x % t == 0:
+                run_case(f"t={t}", args.iters, results, x=x, y=y, t=t)
 
-    print("\nlane width (1 in / 1 out, t=64, same total bytes):")
-    for yy in (1600, 2048, 4096):
-        xx = x * y // yy // 64 * 64
-        run_case(f"Y={yy}", args.iters, results, x=xx, y=yy, t=64)
+    if want("lanes"):
+        print("\nlane width (1 in / 1 out, t=64, same total bytes):")
+        for yy in (1600, 2048, 4096):
+            xx = x * y // yy // 64 * 64
+            run_case(f"Y={yy}", args.iters, results, x=xx, y=yy, t=64)
 
-    print(f"\nhalo triples (t=32, Y={y}, 1 out):")
-    for n in (1, 4, 9):
-        run_case(f"triples n_in={n}", args.iters, results,
-                 x=x, y=y, t=32, n_in=n, triples=True)
+    if want("triples"):
+        print(f"\nhalo triples (t=32, Y={y}, 1 out):")
+        for n in (1, 4, 9):
+            run_case(f"triples n_in={n}", args.iters, results,
+                     x=x, y=y, t=32, n_in=n, triples=True)
 
-    print(f"\noutput count (1 in, t=64, Y={y}):")
-    for n in (1, 2, 6):
-        run_case(f"n_out={n}", args.iters, results, x=x, y=y, t=64, n_out=n)
+    if want("outs"):
+        print(f"\noutput count (1 in, t=64, Y={y}):")
+        for n in (1, 2, 6):
+            run_case(f"n_out={n}", args.iters, results, x=x, y=y, t=64, n_out=n)
 
-    print(f"\nchannel grid ((1,t,Y) blocks over (n_t, 3), t=32, Y={y}):")
-    for n in (1, 7):
-        run_case(f"cgrid n_in={n}", args.iters, results,
-                 x=x, y=y, t=32, n_in=n, cgrid=True)
+    if want("cgrid"):
+        print(f"\nchannel grid ((1,t,Y) blocks over (n_t, 3), t=32, Y={y}):")
+        for n in (1, 7):
+            run_case(f"cgrid n_in={n}", args.iters, results,
+                     x=x, y=y, t=32, n_in=n, cgrid=True)
 
-    print(f"\nplane packing (ONE (P,X,Y) array, (P,t,Y) blocks, Y={y}):")
-    # t chosen so the packed in+out blocks fit VMEM double-buffered.
-    for n, tp in ((6, 32), (13, 16), (23, 8)):
-        run_case(f"packed P={n} t={tp}", args.iters, results,
-                 x=x, y=y, t=tp, n_in=n, packed=True)
-    run_case("packed P=23 t=8 triples", args.iters, results,
-             x=x, y=y, t=8, n_in=23, packed=True, triples=True)
+    if want("packed"):
+        print(f"\nplane packing (ONE (P,X,Y) array, (P,t,Y) blocks, Y={y}):")
+        # t chosen so the packed in+out blocks fit VMEM double-buffered.
+        for n, tp in ((6, 32), (13, 16), (23, 8)):
+            run_case(f"packed P={n} t={tp}", args.iters, results,
+                     x=x, y=y, t=tp, n_in=n, packed=True)
+        run_case("packed P=23 t=8 triples", args.iters, results,
+                 x=x, y=y, t=8, n_in=23, packed=True, triples=True)
 
-    print(f"\nelement windows (ONE (t+16,Y) block per input, X-padded, Y={y}):")
-    for n in (1, 4, 9):
-        run_case(f"windows n_in={n} t=32", args.iters, results,
-                 x=x, y=y, t=32, n_in=n, windows=True)
-    run_case("windows n_in=9 t=8", args.iters, results,
-             x=x, y=y, t=8, n_in=9, windows=True)
-    run_case("windows n_in=9 t=32 n_out=6", args.iters, results,
-             x=x, y=y, t=32, n_in=9, n_out=6, windows=True)
-    run_case("windows n_in=16 t=32 n_out=6", args.iters, results,
-             x=x, y=y, t=32, n_in=16, n_out=6, windows=True)
+    if want("windows"):
+        print(f"\nelement windows (ONE (t+16,Y) block per input, X-padded, Y={y}):")
+        for n in (1, 4, 9):
+            run_case(f"windows n_in={n} t=32", args.iters, results,
+                     x=x, y=y, t=32, n_in=n, windows=True)
+        run_case("windows n_in=9 t=8", args.iters, results,
+                 x=x, y=y, t=8, n_in=9, windows=True)
+        run_case("windows n_in=9 t=32 n_out=6", args.iters, results,
+                 x=x, y=y, t=32, n_in=9, n_out=6, windows=True)
+        run_case("windows n_in=16 t=32 n_out=6", args.iters, results,
+                 x=x, y=y, t=32, n_in=16, n_out=6, windows=True)
 
-    print(f"\nphase-like mixes (center blocks only, Y={y}):")
-    run_case("n_in=23 n_out=6 t=32", args.iters, results,
-             x=x, y=y, t=32, n_in=23, n_out=6)
-    run_case("n_in=23 n_out=6 t=8", args.iters, results,
-             x=x, y=y, t=8, n_in=23, n_out=6)
-    run_case("n_in=9 triples n_out=6 t=32", args.iters, results,
-             x=x, y=y, t=32, n_in=9, n_out=6, triples=True)
+    if want("mixes"):
+        print(f"\nphase-like mixes (center blocks only, Y={y}):")
+        run_case("n_in=23 n_out=6 t=32", args.iters, results,
+                 x=x, y=y, t=32, n_in=23, n_out=6)
+        run_case("n_in=23 n_out=6 t=8", args.iters, results,
+                 x=x, y=y, t=8, n_in=23, n_out=6)
+        run_case("n_in=9 triples n_out=6 t=32", args.iters, results,
+                 x=x, y=y, t=32, n_in=9, n_out=6, triples=True)
+
+    if want("merged"):
+        # Does the stream-count gate count HBM ARRAYS or BlockSpec
+        # streams? Same spec count/geometry as the in-count axis, one
+        # buffer. If merged ≈ distinct, the gate is per-spec and plane
+        # merging is a dead end; if merged ≈ n_in=1, restructure the
+        # phase kernels around merged planes.
+        print(f"\nmerged planes (ONE (P·X, Y) array, P row-offset specs, Y={y}):")
+        for n in (4, 8, 13, 23):
+            run_case(f"merged n_in={n} t=64", args.iters, results,
+                     x=x, y=y, t=64, n_in=n, merged=True)
+        run_case("merged n_in=8 t=32 triples", args.iters, results,
+                 x=x, y=y, t=32, n_in=8, merged=True, triples=True)
+        run_case("merged n_in=8 t=80 triples", args.iters, results,
+                 x=x, y=y, t=80, n_in=8, merged=True, triples=True)
+        # distinct-array twins at the dye kernel's real t=80 for A/B
+        run_case("triples n_in=8 t=80", args.iters, results,
+                 x=x, y=y, t=80, n_in=8, triples=True)
+        run_case("windows n_in=8 t=80", args.iters, results,
+                 x=x, y=y, t=80, n_in=8, windows=True)
+        run_case("windows n_in=8 t=80 n_out=6", args.iters, results,
+                 x=x, y=y, t=80, n_in=8, n_out=6, windows=True)
+        run_case("windows n_in=4 t=80 n_out=3", args.iters, results,
+                 x=x, y=y, t=80, n_in=4, n_out=3, windows=True)
+        run_case("windows n_in=8 t=80 n_out=3", args.iters, results,
+                 x=x, y=y, t=80, n_in=8, n_out=3, windows=True)
 
     if args.json:
         Path(args.json).write_text(json.dumps(
