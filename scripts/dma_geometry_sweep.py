@@ -45,7 +45,7 @@ _HB = 8
 def make_case(
     x: int, y: int, t: int, n_in: int = 1, n_out: int = 1,
     triples: bool = False, cgrid: bool = False, packed: bool = False,
-    windows: bool = False, merged: bool = False,
+    windows: bool = False, merged: bool = False, cgrid2d: bool = False,
 ):
     """A no-op pallas_call: `n_in` DISTINCT input arrays (so XLA cannot
     alias their buffers), each consumed in full; `n_out` broadcast-filled
@@ -96,6 +96,38 @@ def make_case(
         in_specs = [spec] * n_in
         args = arrs
         nbytes = (n_in + n_out) * 3 * x * y * 4
+    elif cgrid2d:
+        # Channel grid with 2-D blocks: (3, X, Y) arrays RESHAPED (free,
+        # contiguous) to (3X, Y); per-program blocks are plain (t, Y)
+        # at row offset c·n_t + i — the fast 2-D-block DMA geometry
+        # instead of cgrid's (1, t, Y) 3-D blocks (~600 GB/s ceiling).
+        arrs = [jnp.asarray(np.full((3 * x, y), i + 1.0, np.float32))
+                for i in range(n_in)]
+        spec = pl.BlockSpec((t, y), lambda i, c: (c * n_t + i, 0),
+                            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((t, y), lambda i, c: (c * n_t + i, 0),
+                                memory_space=pltpu.VMEM)
+        grid = (n_t, 3)
+        out_sd = jax.ShapeDtypeStruct((3 * x, y), jnp.float32)
+        in_specs = [spec] * n_in
+        args = arrs
+        nbytes = (n_in + n_out) * 3 * x * y * 4
+        if windows:
+            # ONE (t+16, Y) element-offset window per input; X-padded by
+            # 8 per channel segment is NOT possible without relayout, so
+            # offsets clamp per channel segment like _win_row0.
+            h = _HB
+            tb = t // h
+
+            def row0(i, c):
+                # per-channel-segment clamp: [c·x, c·x + x − (t+2h)]
+                return (c * n_t * tb + jnp.clip(i * tb - 1, 0, (n_t - 1) * tb - 2)) * h
+
+            in_specs = [pl.BlockSpec(
+                (pl.Element(t + 2 * h), pl.Element(y)),
+                lambda i, c: (row0(i, c), 0), memory_space=pltpu.VMEM,
+            )] * n_in
+            nbytes = n_in * 3 * (x + 2 * h * n_t) * y * 4 + n_out * 3 * x * y * 4
     elif merged:
         grid = (n_t,)
         big = jnp.asarray(np.concatenate(
@@ -157,7 +189,7 @@ def make_case(
             args = arrs
             nbytes = (n_in + n_out) * x * y * 4
 
-    if windows:
+    if windows and not cgrid2d:
         # ONE (t+2h, Y) element-offset window block per input instead of
         # a 3-spec halo triple: same bytes, one third the input streams.
         # Arrays are X-padded by h=8 top+bottom so window offsets never
@@ -336,6 +368,64 @@ def main() -> None:
                  x=x, y=y, t=8, n_in=23, n_out=6)
         run_case("n_in=9 triples n_out=6 t=32", args.iters, results,
                  x=x, y=y, t=32, n_in=9, n_out=6, triples=True)
+
+    if want("cgrid2d"):
+        # The dye kernel's layout question: same (n_t, 3) channel grid,
+        # (t, Y) 2-D row-offset blocks on (3X, Y)-reshaped arrays vs the
+        # shipped (1, t, Y) 3-D blocks (the `cgrid` section, 494-667).
+        print(f"\ncgrid2d ((t,Y) blocks on (3X,Y) arrays over (n_t, 3), Y={y}):")
+        for n, tt in ((7, 32), (7, 80), (8, 80)):
+            run_case(f"cgrid2d n_in={n} t={tt}", args.iters, results,
+                     x=x, y=y, t=tt, n_in=n, cgrid2d=True)
+        run_case("cgrid2d n_in=8 t=80 n_out=6", args.iters, results,
+                 x=x, y=y, t=80, n_in=8, n_out=6, cgrid2d=True)
+        run_case("cgrid2d windows n_in=8 t=80 n_out=6", args.iters, results,
+                 x=x, y=y, t=80, n_in=8, n_out=6, cgrid2d=True, windows=True)
+        run_case("cgrid2d windows n_in=8 t=128 n_out=6", args.iters, results,
+                 x=x, y=y, t=128, n_in=8, n_out=6, cgrid2d=True, windows=True)
+        # 3-D twin at the same t for a clean A/B
+        run_case("cgrid n_in=7 t=80", args.iters, results,
+                 x=x, y=y, t=80, n_in=7, cgrid=True)
+
+    if want("bigcopy"):
+        # Residency control: the 2,618 GB/s "streaming copy" reference
+        # exceeds a v5e's ~819 GB/s HBM spec — only possible if the
+        # 40 MB scan-carried array stays VMEM-resident across scan
+        # iterations (v5e VMEM is ~128 MB). If rates collapse toward
+        # ~819 GB/s once in+out exceed VMEM, the in-count axis was a
+        # residency curve, not a stream-count curve — and the phase
+        # kernels at 600-730 GB/s are near the HARDWARE roofline.
+        print(f"\nbig-array copies (1 in / 1 out, t=64, Y={y}):")
+        for xx in (3200, 6400, 12800, 25600, 51200):
+            mb = 2 * xx * y * 4 / 2**20
+            run_case(f"copy {mb:.0f} MB total", args.iters, results,
+                     x=xx, y=y, t=64)
+        print(f"\nbig-array n_in=4 (t=64, Y={y}):")
+        for xx in (3200, 12800, 25600):
+            mb = 5 * xx * y * 4 / 2**20
+            run_case(f"4-in {mb:.0f} MB total", args.iters, results,
+                     x=xx, y=y, t=64, n_in=4)
+
+    if want("folded"):
+        # Channel-FOLDED alternatives to the (n_t, 3) channel grid (whose
+        # ~620 GB/s ceiling the cgrid2d section pinned on the grid
+        # structure itself): every dye plane as its own (X, Y) array on a
+        # plain (n_t,) grid — n_in = 7 per-channel × 3 + vel ≈ 23
+        # window streams, 18 outputs — plus lead-3 packed blocks (the
+        # pre-cgrid folded layout) and a split-phase-sized mix.
+        print(f"\nfolded-plane mixes ((n_t,) grid, separate (X,Y) planes, Y={y}):")
+        run_case("windows n_in=23 t=32 n_out=18", args.iters, results,
+                 x=x, y=y, t=32, n_in=23, n_out=18, windows=True)
+        run_case("windows n_in=23 t=64 n_out=18", args.iters, results,
+                 x=x, y=y, t=64, n_in=23, n_out=18, windows=True)
+        run_case("windows n_in=15 t=64 n_out=12", args.iters, results,
+                 x=x, y=y, t=64, n_in=15, n_out=12, windows=True)
+        run_case("windows n_in=12 t=64 n_out=9", args.iters, results,
+                 x=x, y=y, t=64, n_in=12, n_out=9, windows=True)
+        run_case("packed P=3 t=64", args.iters, results,
+                 x=x, y=y, t=64, n_in=3, packed=True)
+        run_case("packed P=2 t=64", args.iters, results,
+                 x=x, y=y, t=64, n_in=2, packed=True)
 
     if want("merged"):
         # Does the stream-count gate count HBM ARRAYS or BlockSpec
