@@ -10,6 +10,7 @@ from fluid2d_tpu.config import SimConfig
 from fluid2d_tpu.ops.limiters import limit_vector_norm
 from fluid2d_tpu.ops.pallas_stencil import (
     PallasInfeasibleError,
+    jacobi_iteration_pallas,
     pick_tile,
     sor_iteration_pallas,
 )
@@ -54,11 +55,14 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     ``(p_cur, p_alt)`` pair."""
     if cfg.n_pressure_iter <= 0:
         return p_cur, p_alt
-    if cfg.pressure_solver == "jacobi" and use_pallas(cfg, p_cur.shape[-2]):
-        note_once("--pressure-solver jacobi has no fused Pallas kernel; "
-                  "it runs on the jnp/XLA path (slower than sor on TPU)")
-    sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
     interp = cfg.kernels == "pallas_interpret"
+    if cfg.pressure_solver == "jacobi" and use_pallas(cfg, p_cur.shape[-2]):
+        try:
+            return _jacobi_pallas_iters(p_cur, p_alt, v, scene, cfg, interp)
+        except PallasInfeasibleError:
+            note_once("Pallas Jacobi kernel infeasible at this grid size; "
+                      "pressure iterations fall back to the jnp path (slower)")
+    sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
     if sor_pallas and cfg.n_pressure_iter <= 4:
         try:
             return _sor_pallas_iters(p_cur, p_alt, v, scene, cfg, interp)
@@ -116,9 +120,17 @@ def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     the limiter applies after). On the Pallas SOR path the limiter is
     folded into the FINAL iteration (u/w tiles already in VMEM).
     Returns ``(p_cur, p_alt, v_limited)``."""
+    interp = cfg.kernels == "pallas_interpret"
+    if (cfg.pressure_solver == "jacobi" and use_pallas(cfg, p_cur.shape[-2])
+            and cfg.n_pressure_iter >= 1):
+        try:
+            return _jacobi_pallas_iters(
+                p_cur, p_alt, v, scene, cfg, interp, v_limit=cfg.velocity_limit
+            )
+        except PallasInfeasibleError:
+            pass  # update_pressure below re-probes and prints the note
     sor_pallas = cfg.pressure_solver == "sor" and use_pallas(cfg, p_cur.shape[-2])
     if sor_pallas and 1 <= cfg.n_pressure_iter <= 4:
-        interp = cfg.kernels == "pallas_interpret"
         try:
             return _sor_pallas_iters(
                 p_cur, p_alt, v, scene, cfg, interp, v_limit=cfg.velocity_limit
@@ -127,6 +139,34 @@ def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
             pass  # update_pressure below re-probes and prints the note
     p_cur, p_alt = update_pressure(p_cur, p_alt, v, scene, cfg)
     return p_cur, p_alt, limit_vector_norm(v, cfg.velocity_limit)
+
+
+def _jacobi_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
+    """The fused Pallas Jacobi chain (VERDICT r3 item #7): each kernel
+    fuses up to FOUR iterations (2-row halo per iteration vs SOR's 3),
+    so the default n_pressure_iter=2 is ONE kernel. Raises
+    PallasInfeasibleError when no tile fits (caller falls back to jnp).
+    With `v_limit`, the velocity limiter folds into the final call and a
+    3-tuple is returned."""
+
+    def call(pair, k, vl):
+        return jacobi_iteration_pallas(
+            *pair, v[0], v[1], scene.pbc_code, scene.not_wall8,
+            cfg.dt, cfg.dx, n_iters=k, v_limit=vl, interpret=interp,
+        )
+
+    from fluid2d_tpu.ops.pallas_stencil import suppress_traffic_log
+
+    n = cfg.n_pressure_iter
+    step = min(n, 4)
+    with suppress_traffic_log():  # probes are DCE'd under jit — don't log
+        call((p_cur, p_alt), step, None)  # may raise → caller falls back
+
+    pair = (p_cur, p_alt)
+    while n > step:
+        pair = call(pair, step, None)
+        n -= step
+    return call(pair, n, v_limit)
 
 
 def _sor_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
