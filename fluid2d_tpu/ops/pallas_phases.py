@@ -625,6 +625,7 @@ def cip_velocity_phase_pallas(
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 12 * center_bytes(x_rows, y_cols, None),
+        t=t,
     )
 
     if window_inputs:
@@ -687,6 +688,7 @@ def _cip_velocity_phase_cgrid(
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 12 * center_bytes(x_rows, y_cols, None),
+        t=t,
     )
 
     kernel = functools.partial(_cip_velocity_kernel_cgrid, n_t, re, dt, dx)
@@ -1658,6 +1660,7 @@ def cip_dye_phase_pallas(
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 6 * chans * center_bytes(x_rows, y_cols, None),
+        t=t,
     )
 
     if window_inputs:
@@ -1855,6 +1858,7 @@ def confinement_pallas(
         v_bytes
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + 4 * center_bytes(x_rows, y_cols, None),
+        t=None if sliding else t,
     )
     vn = pl.pallas_call(
         kernel,
@@ -2031,6 +2035,7 @@ def mac_velocity_phase_pallas(
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 6 * center_bytes(x_rows, y_cols, None),
+        t=None if sliding else t,
     )
 
     out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -2192,6 +2197,7 @@ def mac_dye_phase_pallas(
         + (2 + chans) * center_bytes(x_rows, y_cols, None)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 2 * chans * center_bytes(x_rows, y_cols, None),
+        t=None if sliding else t,
     )
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
 

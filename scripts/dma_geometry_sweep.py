@@ -303,7 +303,7 @@ def main() -> None:
     want = lambda s: args.only is None or s in args.only.split(",")  # noqa: E731
 
     bw = measure_hbm_bandwidth() / 1e9
-    print(f"streaming copy reference ((64,2048) blocks, 40 MB): {bw:7.1f} GB/s")
+    print(f"streaming copy reference ((64,2048) blocks, 320 MB in+out): {bw:7.1f} GB/s")
 
     if want("incount"):
         print(f"\nin-count (t=64, Y={y}, center blocks, 1 out):")
