@@ -18,14 +18,17 @@ import sys
 import time
 
 
-def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=5.0, bc=2):
-    import jax
-
+def _setup_tpu():
     from fluid2d_tpu.utils.cache import enable_compile_cache
     from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
 
     raise_scoped_vmem()  # before the first TPU compile (see tpu_flags)
     enable_compile_cache()  # amortize the res≥1600 compiles across runs
+
+
+def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=5.0,
+                 bc=2, re=1_000_000.0, dt=None):
+    _setup_tpu()
 
     from fluid2d_tpu.config import SimConfig
     from fluid2d_tpu.models.simulator import make_run_fn
@@ -33,7 +36,8 @@ def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=
     from fluid2d_tpu.state import init_state
 
     cfg = SimConfig.create(
-        resolution=res, re=1_000_000.0, scheme=scheme, vor_eps=vor_eps, enable_dye=enable_dye
+        resolution=res, re=re, dt=dt, scheme=scheme, vor_eps=vor_eps,
+        enable_dye=enable_dye,
     )
     scene = get_scene(bc, res)
     state = init_state(scene, cfg)
@@ -59,17 +63,71 @@ def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=
     return steps / elapsed, state
 
 
+# The five BASELINE.json configs as named presets (VERDICT r3 item #6):
+# one command reproduces the whole comparison table. Step counts sized
+# so each timed run is ≥ ~1 s over the tunnel's ~30 ms invocation floor.
+_PRESETS = {
+    1: {"desc": "bc=1 channel flow, res=400, upwind, Re=1000, dt=5e-4",
+        "kw": {"res": 400, "scheme": "upwind", "bc": 1, "re": 1000.0,
+               "dt": 5e-4, "vor_eps": None, "enable_dye": False},
+        "steps": 2000},
+    2: {"desc": "bc=2 obstacle flow, res=800, Kawamura-Kuwahara, Re=1000",
+        "kw": {"res": 800, "scheme": "kk", "bc": 2, "re": 1000.0},
+        "steps": 1000},
+    3: {"desc": "bc=3 Re=1e8, res=800, CIP + vorticity confinement vc=10",
+        "kw": {"res": 800, "scheme": "cip", "bc": 3, "re": 1e8, "vor_eps": 10.0},
+        "steps": 600},
+    4: {"desc": "bc=5 multi-obstacle mask, res=1600, CIP + dye/vorticity",
+        "kw": {"res": 1600, "scheme": "cip", "bc": 5},
+        "steps": 300},
+    5: {"desc": "bc=6 dragon mask, res=1600, CIP + dye/vorticity",
+        "kw": {"res": 1600, "scheme": "cip", "bc": 6},
+        "steps": 300},
+    6: {"desc": "res=4096 obstacle sweep (bc=3), CIP — single chip "
+               "(the v5p-8 sharded leg needs real multi-chip hardware)",
+        "kw": {"res": 4096, "scheme": "cip", "bc": 3},
+        "steps": 80},
+}
+
+
+def run_preset(n: int) -> dict:
+    import numpy as np
+
+    p = _PRESETS[n]
+    rate, state = bench_config(steps=p["steps"], **p["kw"])
+    finite = bool(np.isfinite(np.asarray(state.v)).all())
+    return {
+        "metric": f"baseline_config_{n}",
+        "desc": p["desc"],
+        "value": round(rate, 2) if finite else 0.0,
+        "unit": "steps/s",
+        "stable": finite,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--res", type=int, default=1600)
     parser.add_argument("--scheme", type=str, default="cip", choices=["upwind", "kk", "cip"])
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--all", action="store_true", help="Print a side table of configs")
+    parser.add_argument("--config", type=str, default=None,
+                        help="BASELINE.json preset number 1..6, or 'all'")
     parser.add_argument("--roofline", action="store_true",
                         help="Print measured-HBM roofline accounting to stderr")
     args = parser.parse_args()
 
+    if args.config:
+        nums = sorted(_PRESETS) if args.config == "all" else [int(args.config)]
+        rows = [run_preset(n) for n in nums]
+        for r in rows:
+            print(f"# config {r['metric'][-1]}: {r['value']:9.1f} steps/s "
+                  f"stable={r['stable']}  ({r['desc']})", file=sys.stderr)
+        print(json.dumps(rows if len(rows) > 1 else rows[0]))
+        return
+
     if args.roofline:
+        _setup_tpu()  # the roofline compiles kernels whose tiles assume it
         from fluid2d_tpu.utils.profiling import roofline_report
 
         rep = roofline_report(args.res, args.scheme, args.steps)

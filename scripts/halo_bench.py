@@ -76,6 +76,69 @@ def time_step_on(cfg, scene_slab, steps: int) -> float:
     return (time.perf_counter() - t0) / steps
 
 
+def time_window_build(res: int, devices: int, h: int, iters: int = 200) -> dict:
+    """Per-step cost of building the ghost WORKING WINDOWS (the local
+    concat work in exchange_ghosts, exclusive of the ppermute wire time),
+    for the old where-select form vs the shipped lax.switch form
+    (VERDICT r3 item #8) — replicated single-device: neighbor strips are
+    precomputed arrays, the build runs over a full 32-channel state-sized
+    pytree per iteration."""
+    import jax.numpy as jnp
+
+    x_loc, y = 2 * res // devices, res
+    chans = 32
+    arr = jnp.ones((chans, x_loc, y), jnp.float32)
+    from_prev = jnp.full((chans, h, y), 2.0, jnp.float32)
+    from_next = jnp.full((chans, h, y), 3.0, jnp.float32)
+
+    def build_where(arr, idx):
+        fill_shape = (chans, h, y)
+        fill_bot = jnp.broadcast_to(from_next[:, -1:, :], fill_shape)
+        fill_top = jnp.broadcast_to(from_prev[:, :1, :], fill_shape)
+        first = jnp.concatenate([arr, from_next, fill_bot], axis=-2)
+        mid = jnp.concatenate([from_prev, arr, from_next], axis=-2)
+        last = jnp.concatenate([fill_top, from_prev, arr], axis=-2)
+        return jnp.where(idx == 0, first, jnp.where(idx == devices - 1, last, mid))
+
+    def build_switch(arr, idx):
+        import jax
+
+        def first():
+            fill = jnp.broadcast_to(from_next[:, -1:, :], (chans, h, y))
+            return jnp.concatenate([arr, from_next, fill], axis=-2)
+
+        def mid():
+            return jnp.concatenate([from_prev, arr, from_next], axis=-2)
+
+        def last():
+            fill = jnp.broadcast_to(from_prev[:, :1, :], (chans, h, y))
+            return jnp.concatenate([fill, from_prev, arr], axis=-2)
+
+        pos = (idx > 0).astype(jnp.int32) + (idx == devices - 1).astype(jnp.int32)
+        return jax.lax.switch(pos, [first, mid, last])
+
+    out = {}
+    for label, fn in (("where_select", build_where), ("lax_switch", build_switch)):
+        @jax.jit
+        def loop(a, idx, fn=fn):
+            def body(c, _):
+                w = fn(c, idx)
+                return w[:, h : h + x_loc, :], None
+
+            o, _ = jax.lax.scan(body, a, None, length=iters)
+            return o
+
+        idx = jnp.int32(1)  # interior device: the hot case
+        o = loop(arr, idx)
+        float(np.asarray(o[0, 0, 0]))
+        t0 = time.perf_counter()
+        o = loop(arr, idx)
+        float(np.asarray(o[0, 0, 0]))
+        out[f"window_build_ms[{label}]"] = round(
+            (time.perf_counter() - t0) / iters * 1e3, 3)
+    return out
+
+
 def main() -> None:
     from fluid2d_tpu.utils.cache import enable_compile_cache
     from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
@@ -87,10 +150,25 @@ def main() -> None:
     parser.add_argument("--res", type=int, default=4096)
     parser.add_argument("--devices", type=int, default=8)
     parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--window-build", action="store_true",
+                        help="ONLY time the ghost-window build forms "
+                             "(old where-select vs lax.switch)")
     parser.add_argument("--ici-GBps", type=float, nargs=3, default=[45.0, 90.0, 180.0],
                         metavar=("LOW", "MID", "HIGH"),
                         help="assumed per-direction ICI bandwidth band (GB/s)")
     args = parser.parse_args()
+
+    if args.window_build:
+        from fluid2d_tpu.config import SimConfig
+        from fluid2d_tpu.parallel.halo import ghost_width
+
+        cfg = SimConfig.create(resolution=args.res, scheme="cip",
+                               vor_eps=5.0, enable_dye=True)
+        rep = {"res": args.res, "devices": args.devices,
+               "ghost_width": ghost_width(cfg)}
+        rep |= time_window_build(args.res, args.devices, ghost_width(cfg))
+        print(json.dumps(rep))
+        return
 
     from fluid2d_tpu.config import SimConfig
     from fluid2d_tpu.parallel.halo import ghost_width
