@@ -184,6 +184,33 @@ _KERNEL_MIXES: dict[str, dict] = {
 }
 
 
+def mix_bytes(name: str, x_rows: int, y_cols: int, t: int) -> int | None:
+    """BlockSpec bytes per call implied by kernel `name`'s registered
+    operand mix — must equal what the REAL kernel's `log_traffic` call
+    reports at the same grid/tile, or the mix twin no longer models the
+    kernel (guarded by tests/test_trace_tools.py). None for unregistered
+    kernels."""
+    import fluid2d_tpu.ops.pallas_stencil as ps
+
+    mix = _KERNEL_MIXES.get(name)
+    if mix is None:
+        return None
+    chans = 3
+    nbytes = 0
+    for kind, lead in mix["ins"]:
+        isz = 1 if kind.endswith("8") else 4
+        ld = chans if lead == "c" else lead
+        if kind.startswith("t"):
+            nbytes += ps.triple_bytes(x_rows, y_cols, t, ld, itemsize=isz)
+        else:
+            nbytes += ps.center_bytes(x_rows, y_cols, ld, itemsize=isz)
+    nbytes += sum(
+        ps.center_bytes(x_rows, y_cols, chans if lead == "c" else lead)
+        for lead in mix["outs"]
+    )
+    return nbytes
+
+
 def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
                         iters: int | None = None) -> tuple[float, int] | None:
     """Measured DMA ceiling (bytes/s of BlockSpec bytes, and the bytes
@@ -215,31 +242,21 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
     trip = ps._halo_triple_specs_cgrid if cg else ps._halo_triple_specs
     cent = ps._center_spec_cgrid if cg else ps._center_spec
 
-    in_specs, args, nbytes = [], [], 0
+    in_specs, args = [], []
     for k, (kind, lead) in enumerate(mix["ins"]):
-        if cg and lead != "c" and lead is not None:
-            pass  # shared lead blocks keep constant c-index — same specs
         dtype = jnp.int8 if kind.endswith("8") else jnp.float32
-        isz = 1 if dtype == jnp.int8 else 4
         a = jnp.full(arr_shape(lead), k + 1, dtype)
         if kind.startswith("t"):
             in_specs += trip(t, y_cols, n_t, lead)
             args += [a] * 3
-            nbytes += ps.triple_bytes(
-                x_rows, y_cols, t, chans if lead == "c" else lead, itemsize=isz)
         else:
             in_specs.append(cent(t, y_cols, lead))
             args.append(a)
-            nbytes += ps.center_bytes(
-                x_rows, y_cols, chans if lead == "c" else lead, itemsize=isz)
 
     out_specs = [cent(t, y_cols, lead) for lead in mix["outs"]]
     out_shape = [jax.ShapeDtypeStruct(arr_shape(lead), jnp.float32)
                  for lead in mix["outs"]]
-    nbytes += sum(
-        ps.center_bytes(x_rows, y_cols, chans if lead == "c" else lead)
-        for lead in mix["outs"]
-    )
+    nbytes = mix_bytes(name, x_rows, y_cols, t)
     n_in = len(in_specs)
 
     def kernel(*refs):

@@ -36,6 +36,54 @@ def test_blockspec_bytes_ledger():
         assert nbytes >= 2 * cell, name
 
 
+def test_mix_registry_matches_real_kernels():
+    """The roofline's no-op twins (`_KERNEL_MIXES`) must mirror the REAL
+    kernels' operand geometry, or `measure_mix_ceiling` measures the
+    wrong ceiling. Guard: every per-call byte figure the dispatched
+    kernels log must equal `mix_bytes` for the registered mix at the
+    logged tile. SOR/Jacobi log both limited and unlimited forms — the
+    unlimited form's bytes coincide with the x2-named mix (same inputs,
+    two center outputs)."""
+    import fluid2d_tpu.ops.pallas_stencil as ps
+    from fluid2d_tpu.models.simulator import step_fn_for
+    from fluid2d_tpu.scenes.compile import get_scene
+    from fluid2d_tpu.state import init_state
+    import jax
+
+    res = 64
+    x_rows, y_cols = 2 * res, res
+    for scheme, solver in (("cip", "sor"), ("kk", "sor"), ("cip", "jacobi")):
+        cfg = SimConfig.create(resolution=res, scheme=scheme, vor_eps=5.0,
+                               enable_dye=True, pressure_solver=solver,
+                               kernels="pallas_interpret")
+        scene = get_scene(2, res)
+        state = init_state(scene, cfg)
+        step = step_fn_for(cfg)
+        ledger, tiles = [], {}
+        ps.TRAFFIC_LOG, ps.TILE_LOG = ledger, tiles
+        try:
+            jax.make_jaxpr(lambda s: step(s, scene))(state)
+        finally:
+            ps.TRAFFIC_LOG, ps.TILE_LOG = None, None
+        assert ledger, (scheme, solver)
+        for name, nbytes in ledger:
+            t = tiles.get(name)
+            if t is None:
+                continue  # sliding/2-D variants: no registered twin
+            expect = profiling.mix_bytes(name, x_rows, y_cols, t)
+            if name in ("sor_x1", "jacobi_x1", "jacobi_x2"):
+                # limited + unlimited forms: x1/x2 mixes differ only in
+                # the two extra limiter output planes
+                alt = "sor_x2" if name == "sor_x1" else (
+                    "jacobi_x2" if name == "jacobi_x1" else "jacobi_x1")
+                allowed = {expect, profiling.mix_bytes(alt, x_rows, y_cols, t)}
+            else:
+                allowed = {expect}
+            assert expect is not None and nbytes in allowed, (
+                f"{name}@t={t}: logged {nbytes}, registry {sorted(allowed)}"
+            )
+
+
 def test_measure_hbm_bandwidth_cpu_fallback():
     """On non-TPU backends the Pallas copy kernel can't compile; the XLA
     fallback must return a positive bandwidth instead of crashing
