@@ -73,15 +73,13 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
     if sor_pallas:
         # Only the n > 4 lax.scan path reaches here with sor_pallas still
         # set (the ≤4 path returned or proved infeasibility above);
-        # feasibility is resolution-dependent — probe at trace time.
-        from fluid2d_tpu.ops.pallas_stencil import suppress_traffic_log
-
+        # feasibility is resolution-dependent — the kernel's own pure
+        # probe decides (same halo bound + tile pick, nothing traced).
         try:
-            with suppress_traffic_log():
-                sor_iteration_pallas(
-                    p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
-                    cfg.sor_omega, cfg.dt, cfg.dx, interpret=interp,
-                )
+            sor_iteration_pallas(
+                p_cur, p_alt, v[0], v[1], scene.pbc_code, scene.fluid8,
+                cfg.sor_omega, cfg.dt, cfg.dx, probe=True, interpret=interp,
+            )
         except PallasInfeasibleError:
             note_once("Pallas SOR kernel infeasible at this grid size; "
                       "pressure iterations fall back to the jnp path (slower)")
@@ -149,18 +147,15 @@ def _jacobi_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
     With `v_limit`, the velocity limiter folds into the final call and a
     3-tuple is returned."""
 
-    def call(pair, k, vl):
+    def call(pair, k, vl, probe=False):
         return jacobi_iteration_pallas(
             *pair, v[0], v[1], scene.pbc_code, scene.not_wall8,
-            cfg.dt, cfg.dx, n_iters=k, v_limit=vl, interpret=interp,
+            cfg.dt, cfg.dx, n_iters=k, v_limit=vl, probe=probe, interpret=interp,
         )
-
-    from fluid2d_tpu.ops.pallas_stencil import suppress_traffic_log
 
     n = cfg.n_pressure_iter
     step = min(n, 4)
-    with suppress_traffic_log():  # probes are DCE'd under jit — don't log
-        call((p_cur, p_alt), step, None)  # may raise → caller falls back
+    call((p_cur, p_alt), step, None, probe=True)  # may raise → caller falls back
 
     pair = (p_cur, p_alt)
     while n > step:
@@ -178,24 +173,22 @@ def _sor_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
     jnp path). With `v_limit`, the velocity limiter folds into the final
     call and a 3-tuple ``(p_cur, p_alt, v_limited)`` is returned."""
 
-    def call(pair, k, vl):
+    def call(pair, k, vl, probe=False):
         return sor_iteration_pallas(
             *pair, v[0], v[1], scene.pbc_code, scene.fluid8,
-            cfg.sor_omega, cfg.dt, cfg.dx, n_iters=k, v_limit=vl, interpret=interp,
+            cfg.sor_omega, cfg.dt, cfg.dx, n_iters=k, v_limit=vl, probe=probe,
+            interpret=interp,
         )
-
-    from fluid2d_tpu.ops.pallas_stencil import suppress_traffic_log
 
     n = cfg.n_pressure_iter
     step = 2 if n >= 2 and getattr(cfg, "sor_fuse", 1) >= 2 else 1
-    with suppress_traffic_log():  # probes are DCE'd under jit — don't log
-        if step == 2:
-            try:
-                call((p_cur, p_alt), 2, None)
-            except PallasInfeasibleError:
-                step = 1
-        if step == 1:
-            call((p_cur, p_alt), 1, None)  # may raise → caller falls back
+    if step == 2:
+        try:
+            call((p_cur, p_alt), 2, None, probe=True)
+        except PallasInfeasibleError:
+            step = 1
+    if step == 1:
+        call((p_cur, p_alt), 1, None, probe=True)  # may raise → caller falls back
 
     pair = (p_cur, p_alt)
     while n > step:

@@ -62,24 +62,13 @@ _HY = 128  # 2-D tiling lane-halo block columns (one lane tile)
 
 TRAFFIC_LOG: list | None = None
 TILE_LOG: dict[str, int] | None = None  # kernel name → dispatched tile_x
-_suppress_log = 0
-
-
-class suppress_traffic_log:
-    """Context manager: trace-time feasibility probes create pallas_calls
-    that jit later DCEs — keep them out of the ledger."""
-
-    def __enter__(self):
-        global _suppress_log
-        _suppress_log += 1
-
-    def __exit__(self, *exc):
-        global _suppress_log
-        _suppress_log -= 1
 
 
 def log_traffic(name: str, nbytes: float, t: int | None = None) -> None:
-    if TRAFFIC_LOG is not None and not _suppress_log:
+    # Feasibility questions go through the entry points' `probe=True`
+    # short-circuit (pure tile-pick, returns before logging), so every
+    # call that reaches here is a really-dispatched kernel.
+    if TRAFFIC_LOG is not None:
         TRAFFIC_LOG.append((name, int(nbytes)))
         if TILE_LOG is not None and t is not None:
             TILE_LOG[name] = t
@@ -1151,7 +1140,7 @@ def _sor_core(
 def sor_iteration_pallas(
     p_cur, p_alt, u, w, pbc_code, fluid8, omega: float, dt: float, dx: float,
     *, n_iters: int = 1, v_limit: float | None = None, tile_x: int | None = None,
-    sliding: bool | None = None, interpret: bool = False,
+    sliding: bool | None = None, probe: bool = False, interpret: bool = False,
 ):
     """`n_iters` fused red-black SOR iterations (BC + odd + even sweeps
     each) in ONE pallas_call — a single HBM pass over p/u/w.
@@ -1164,6 +1153,10 @@ def sor_iteration_pallas(
     With `v_limit` set (the step's FINAL iteration), additionally returns
     the norm-limited (2, X, Y) velocity as a third output — the u/w
     tiles are already in VMEM, so the limiter costs only its writes.
+    With ``probe=True``, stop after feasibility is decided (the halo
+    bound + the tile pick — the only PallasInfeasibleError sources) and
+    return None: a pure predicate for dispatch-time fallback decisions,
+    with no throwaway pallas_call traced and nothing logged.
     """
     if not 1 <= n_iters <= _HB // 3:
         msg = f"n_iters={n_iters} exceeds the {_HB}-row halo blocks"
@@ -1180,6 +1173,8 @@ def sor_iteration_pallas(
     if t is None:
         msg = f"no valid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)
+    if probe:
+        return None
     n_t = x_rows // t
 
     # Sliding-window fetch where the lane width allows the manual DMAs
@@ -1305,7 +1300,7 @@ def _jacobi_kernel(
 def jacobi_iteration_pallas(
     p_cur, p_alt, u, w, pbc_code, not_wall8, dt: float, dx: float,
     *, n_iters: int = 1, v_limit: float | None = None, tile_x: int | None = None,
-    interpret: bool = False,
+    probe: bool = False, interpret: bool = False,
 ):
     """`n_iters` fused Jacobi pressure iterations (BC + all-not-wall
     sweep each) in ONE pallas_call — the drop-in Pallas path for
@@ -1318,6 +1313,8 @@ def jacobi_iteration_pallas(
     ``(p_cur, p_alt)`` pair exactly matching `n_iters` chained
     :func:`fluid2d_tpu.ops.pressure.jacobi_pressure_iteration` calls;
     with `v_limit`, additionally returns the norm-limited velocity.
+    ``probe=True`` stops after feasibility is decided and returns None
+    (see :func:`sor_iteration_pallas`).
     """
     if not 1 <= n_iters <= _HB // 2:
         msg = f"n_iters={n_iters} exceeds the {_HB}-row halo blocks"
@@ -1332,6 +1329,8 @@ def jacobi_iteration_pallas(
     if t is None:
         msg = f"no valid tile for grid ({x_rows}, {y_cols})"
         raise PallasInfeasibleError(msg)
+    if probe:
+        return None
     n_t = x_rows // t
 
     specs = (
