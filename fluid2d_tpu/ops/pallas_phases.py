@@ -1161,6 +1161,7 @@ def _cip_velocity_phase_2d_slide(
         + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 12 * center_bytes(x_rows, y_cols, None),
+        slide2d=(t, ty),
     )
 
     kernel = functools.partial(
@@ -1492,6 +1493,7 @@ def _cip_dye_phase_slide(
         + 2 * chans * (x_rows + 2 * _HB * n_t) * y_cols
         + chans * x_rows * y_cols
         + 6 * chans * center_bytes(x_rows, y_cols, None),
+        slide_t=T,
     )
 
     kernel = functools.partial(_cip_dye_kernel_slide, n_t, t, sub, x_rows, re, dt, dx)
@@ -1858,7 +1860,7 @@ def confinement_pallas(
         v_bytes
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + 4 * center_bytes(x_rows, y_cols, None),
-        t=None if sliding else t,
+        t=None if sliding else t, slide_t=t if sliding else None,
     )
     vn = pl.pallas_call(
         kernel,
@@ -2035,7 +2037,7 @@ def mac_velocity_phase_pallas(
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 6 * center_bytes(x_rows, y_cols, None),
-        t=None if sliding else t,
+        t=None if sliding else t, slide_t=t if sliding else None,
     )
 
     out_sd = jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -2197,7 +2199,7 @@ def mac_dye_phase_pallas(
         + (2 + chans) * center_bytes(x_rows, y_cols, None)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
         + 2 * chans * center_bytes(x_rows, y_cols, None),
-        t=None if sliding else t,
+        t=None if sliding else t, slide_t=t if sliding else None,
     )
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
 

@@ -64,14 +64,23 @@ TRAFFIC_LOG: list | None = None
 TILE_LOG: dict[str, int] | None = None  # kernel name → dispatched tile_x
 
 
-def log_traffic(name: str, nbytes: float, t: int | None = None) -> None:
+def log_traffic(name: str, nbytes: float, t: int | None = None,
+                slide_t: int | None = None,
+                slide2d: tuple[int, int] | None = None) -> None:
     # Feasibility questions go through the entry points' `probe=True`
     # short-circuit (pure tile-pick, returns before logging), so every
-    # call that reaches here is a really-dispatched kernel.
+    # call that reaches here is a really-dispatched kernel. `t` marks a
+    # BlockSpec-fetch dispatch, `slide_t` a 1-D manual-DMA sliding
+    # dispatch, `slide2d` the (t, ty) row-sliding 2-D dispatch — the
+    # roofline picks the matching no-op-twin builder from the marker.
     if TRAFFIC_LOG is not None:
         TRAFFIC_LOG.append((name, int(nbytes)))
         if TILE_LOG is not None and t is not None:
             TILE_LOG[name] = t
+        if TILE_LOG is not None and slide_t is not None:
+            TILE_LOG[name] = ("slide", slide_t)
+        if TILE_LOG is not None and slide2d is not None:
+            TILE_LOG[name] = ("slide2d", *slide2d)
 
 
 def triple_bytes(x: int, y: int, t: int, lead: int | None, itemsize: int = 4) -> int:
@@ -1218,7 +1227,7 @@ def sor_iteration_pallas(
         f32_bytes
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + (4 if v_limit is not None else 2) * center_bytes(x_rows, y_cols, None),
-        t=None if sliding else t,
+        t=None if sliding else t, slide_t=t if sliding else None,
     )
 
     out_shape = [jax.ShapeDtypeStruct(p_cur.shape, p_cur.dtype)] * 2

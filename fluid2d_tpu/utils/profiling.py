@@ -184,6 +184,313 @@ _KERNEL_MIXES: dict[str, dict] = {
 }
 
 
+# Sliding-fetch twins (the res=4096 dispatch): same manual-DMA geometry
+# as the real kernels — per-plane make_async_copy into double-buffered
+# VMEM windows via ops.pallas_stencil._slide_fetch, full fetch at ti==0,
+# t new rows per interior tile. `arrays` lists the f32 HBM plane arrays
+# (lead None → (X, Y); int lead → (lead, X, Y); "c" → one channel of a
+# (chans, X, Y) array per program — c-major grids only). The velocity
+# 2-D row-sliding kernel has its own twin (measure_slide2d_ceiling).
+
+_SLIDE_MIXES: dict[str, dict] = {
+    "sor_x1": {"grid": "1d", "arrays": [None] * 4, "f32_centers": [],
+               "i8_triples": 2, "i8_centers": 0, "outs": [None, None, 2]},
+    "sor_x2": {"grid": "1d", "arrays": [None] * 4, "f32_centers": [],
+               "i8_triples": 2, "i8_centers": 0, "outs": [None, None]},
+    "confinement": {"grid": "1d", "arrays": [2], "f32_centers": [2],
+                    "i8_triples": 1, "i8_centers": 0, "outs": [2]},
+    "mac_velocity": {"grid": "1d", "arrays": [2, None, 2],
+                     "f32_centers": [2], "i8_triples": 1, "i8_centers": 1,
+                     "outs": [2, 2]},
+    "mac_dye": {"grid": "1d", "arrays": [3, 3], "f32_centers": [2, 3],
+                "i8_triples": 1, "i8_centers": 1, "outs": [3, 3]},
+    # c-major dye: grid (chans, n_t); 9 planes per program — 7 of the
+    # channel's arrays + the 2-channel velocity (re-streamed per channel)
+    "cip_dye": {"grid": "cmaj", "arrays": ["c"] * 7 + [2],
+                "f32_centers": [], "i8_triples": 2, "i8_centers": 1,
+                "outs": ["c"] * 6},
+}
+
+
+def slide_bytes(name: str, x_rows: int, y_cols: int, t: int) -> int | None:
+    """Bytes per call implied by kernel `name`'s registered SLIDING plane
+    layout — must equal the real kernel's `log_traffic` figure at the
+    same grid/tile (guarded by tests). None for unregistered kernels."""
+    import fluid2d_tpu.ops.pallas_stencil as ps
+
+    desc = _SLIDE_MIXES.get(name)
+    if desc is None:
+        return None
+    chans = 3
+    n_t = x_rows // t
+    rows = t + 2 * ps._HB
+    slide_rows = rows + (n_t - 1) * t
+    sweeps = chans if desc["grid"] == "cmaj" else 1
+    nplanes = sum(1 if ld in (None, "c") else ld for ld in desc["arrays"])
+    nbytes = nplanes * slide_rows * y_cols * 4 * sweeps
+    for ld in desc["f32_centers"]:
+        nbytes += ps.center_bytes(x_rows, y_cols, ld) * sweeps
+    nbytes += desc["i8_triples"] * (x_rows + 2 * ps._HB * n_t) * y_cols * sweeps
+    nbytes += desc["i8_centers"] * x_rows * y_cols * sweeps
+    nbytes += sum(ps.center_bytes(x_rows, y_cols, chans if ld == "c" else ld)
+                  for ld in desc["outs"])
+    return nbytes
+
+
+def measure_slide_ceiling(name: str, x_rows: int, y_cols: int, t: int,
+                          iters: int | None = None) -> tuple[float, int] | None:
+    """Measured DMA ceiling for a SLIDING-fetch kernel's geometry: a
+    no-op twin that reproduces the manual-DMA window pipeline (full
+    fetch at ti==0, t new rows per interior tile, head rows carried
+    across slots on the copy engine) over the registered plane layout,
+    then consumes everything with a full reduction. Returns
+    (bytes/s, bytes/call) or None when unregistered / not on TPU."""
+    import fluid2d_tpu.ops.pallas_stencil as ps
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    desc = _SLIDE_MIXES.get(name)
+    if desc is None or jax.default_backend() != "tpu":
+        return None
+    n_t = x_rows // t
+    if n_t < 2 or x_rows % t or y_cols % ps._HY:
+        return None
+    cmaj = desc["grid"] == "cmaj"
+    chans = 3
+    rows = t + 2 * ps._HB
+    leads = desc["arrays"]
+    nplanes = sum(1 if ld in (None, "c") else ld for ld in leads)
+
+    def shape(ld):
+        if ld == "c":
+            return (chans, x_rows, y_cols)
+        if ld is None:
+            return (x_rows, y_cols)
+        return (ld, x_rows, y_cols)
+
+    trip = ps._halo_triple_specs_cgrid2 if cmaj else ps._halo_triple_specs
+    cent = ps._center_spec_cgrid2 if cmaj else ps._center_spec
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [any_spec] * len(leads)
+    args = [jnp.full(shape(ld), a + 1.0, jnp.float32)
+            for a, ld in enumerate(leads)]
+    for ld in desc["f32_centers"]:
+        in_specs.append(cent(t, y_cols, ld))
+        args.append(jnp.full(shape(ld), 0.5, jnp.float32))
+    for _ in range(desc["i8_triples"]):
+        in_specs += trip(t, y_cols, n_t, None)
+        args += [jnp.ones((x_rows, y_cols), jnp.int8)] * 3
+    for _ in range(desc["i8_centers"]):
+        in_specs.append(cent(t, y_cols, None))
+        args.append(jnp.ones((x_rows, y_cols), jnp.int8))
+    tok_in, tok_out = _tok_specs(2 if cmaj else 1)
+    in_specs.append(tok_in)
+    args.append(jnp.zeros((8, 128), jnp.float32))
+    out_specs = [cent(t, y_cols, ld) for ld in desc["outs"]] + [tok_out]
+    out_shape = [jax.ShapeDtypeStruct(shape(ld), jnp.float32)
+                 for ld in desc["outs"]]
+    out_shape.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
+    nbytes = slide_bytes(name, x_rows, y_cols, t)
+    n_in, n_out = len(in_specs), len(out_specs)
+    n_arr = len(leads)
+
+    def kernel(*refs):
+        hbm = refs[:n_arr]
+        blocks = refs[n_arr:n_in]
+        outs = refs[n_in : n_in + n_out]
+        win_ref, sems, head_sems = refs[n_in + n_out :]
+        if cmaj:
+            c, ti = pl.program_id(0), pl.program_id(1)
+        else:
+            ti = pl.program_id(0)
+        slot = jax.lax.rem(ti, 2)
+
+        def plane_dmas(ds_r, r0, nr, s):
+            out, p0 = [], 0
+            for a, (ref, ld) in enumerate(zip(hbm, leads)):
+                dst_r = pl.ds(r0, nr)
+                if ld == "c":
+                    src = ref.at[c, ds_r, :]
+                    dst = win_ref.at[s, p0, dst_r]
+                    n = 1
+                elif ld is None:
+                    src = ref.at[ds_r, :]
+                    dst = win_ref.at[s, p0, dst_r]
+                    n = 1
+                else:
+                    src = ref.at[:, ds_r, :]
+                    dst = win_ref.at[s, p0 : p0 + ld, dst_r]
+                    n = ld
+                out.append(pltpu.make_async_copy(src, dst, sems.at[s, a]))
+                p0 += n
+            return out
+
+        full = lambda s: plane_dmas(pl.ds(0, rows), 0, rows, s)  # noqa: E731
+        tail = lambda tin, s: plane_dmas(  # noqa: E731
+            pl.ds(ps._slide_tail_start(tin, t, x_rows), t), 2 * ps._HB, t, s)
+        ps._slide_fetch(win_ref, full, tail, ti, n_t, t, slot,
+                        head_sems=head_sems)
+
+        # Light-touch consumption: the manual DMAs are explicit effects
+        # (they move the bytes regardless), so reading ONE row per plane
+        # suffices to order the kernel after the waits without a
+        # full-window VPU reduction pacing the twin below its DMA.
+        acc = jnp.sum(win_ref[slot, :, ps._HB, :])
+        for b in blocks:
+            acc += jnp.sum(b[..., :1, :].astype(jnp.float32))
+        for o in outs:
+            o[...] = jnp.full(o.shape, acc, jnp.float32)
+
+    grid = (chans, n_t) if cmaj else (n_t,)
+    call = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, nplanes, rows, y_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_arr)),
+            pltpu.SemaphoreType.DMA(2),
+        ],
+    )
+    return _time_noop_twin(call, args, nbytes, iters)
+
+
+def measure_slide2d_ceiling(name: str, x_rows: int, y_cols: int,
+                            t: int, ty: int,
+                            iters: int | None = None) -> tuple[float, int] | None:
+    """Measured DMA ceiling for the row-sliding 2-D velocity kernel's
+    geometry (``_cip_velocity_kernel_2d_slide``): 15 planes in 8 HBM
+    arrays fetched per column stripe with clamped lane offsets, grid
+    (n_ty, n_tx) row-minor, int8 nine-block inputs, 12 output channels.
+    The lane-edge realign fixes are VPU work and are omitted — this is
+    the DMA-geometry ceiling."""
+    import fluid2d_tpu.ops.pallas_phases as ph
+    import fluid2d_tpu.ops.pallas_stencil as ps
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if name != "cip_velocity_2d" or jax.default_backend() != "tpu":
+        return None
+    n_tx, n_ty = x_rows // t, y_cols // ty
+    if x_rows % t or y_cols % ty or n_tx < 2 or y_cols < ty + 2 * ps._HY:
+        return None
+    rows, cols = t + 2 * ps._HB, ty + 2 * ps._HY
+    planes = ph._VEL_DMA_PLANES
+    nplanes = ph._VEL_DMA_NPLANES
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    h9t = lambda: ps._halo9_specs(t, ty, n_tx, n_ty, None, transposed=True)  # noqa: E731
+    tok_in, tok_out = _tok_specs(2)
+    in_specs = [any_spec] * 8 + h9t() + h9t() + [
+        ps._center2d_spec(t, ty, None, transposed=True), tok_in,
+    ]
+    args = [jnp.full((lead, x_rows, y_cols) if lead else (x_rows, y_cols),
+                     a + 1.0, jnp.float32)
+            for a, (_, lead) in enumerate(planes)]
+    args += [jnp.ones((x_rows, y_cols), jnp.int8)] * 18
+    args += [jnp.ones((x_rows, y_cols), jnp.int8)]
+    args.append(jnp.zeros((8, 128), jnp.float32))
+    out_specs = [ps._center2d_spec(t, ty, 2, transposed=True)] * 6 + [tok_out]
+    out_shape = [jax.ShapeDtypeStruct((2, x_rows, y_cols), jnp.float32)] * 6
+    out_shape.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
+    slide_rows = rows + (n_tx - 1) * t
+    nbytes = (
+        nplanes * slide_rows * cols * 4 * n_ty
+        + 2 * ps.nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
+        + ps.center_bytes(x_rows, y_cols, None, itemsize=1)
+        + 12 * ps.center_bytes(x_rows, y_cols, None)
+    )
+
+    n_in, n_out = len(in_specs), len(out_specs)
+
+    def kernel(*refs):
+        hbm = refs[:8]
+        blocks = refs[8:n_in]
+        outs = refs[n_in : n_in + n_out]
+        win_ref, sems, head_sems = refs[n_in + n_out :]
+        tj, ti = pl.program_id(0), pl.program_id(1)
+        slot = jax.lax.rem(tj * n_tx + ti, 2)
+        cs0 = pl.multiple_of(
+            jnp.clip(tj * ty - ps._HY, 0, y_cols - cols), ps._HY)
+        ds_c = pl.ds(cs0, cols)
+
+        def plane_dmas(ds_r, r0, nr, s):
+            dst_r = pl.ds(r0, nr)
+            out = []
+            for a, (ref, (p0, lead)) in enumerate(zip(hbm, planes)):
+                if lead is None:
+                    src = ref.at[ds_r, ds_c]
+                    dst = win_ref.at[s, p0, dst_r]
+                else:
+                    src = ref.at[:, ds_r, ds_c]
+                    dst = win_ref.at[s, p0 : p0 + lead, dst_r]
+                out.append(pltpu.make_async_copy(src, dst, sems.at[s, a]))
+            return out
+
+        full = lambda s: plane_dmas(pl.ds(0, rows), 0, rows, s)  # noqa: E731
+        tail = lambda tin, s: plane_dmas(  # noqa: E731
+            pl.ds(ps._slide_tail_start(tin, t, x_rows), t), 2 * ps._HB, t, s)
+        ps._slide_fetch(win_ref, full, tail, ti, n_tx, t, slot,
+                        head_sems=head_sems)
+
+        # One-row consumption — see measure_slide_ceiling.
+        acc = jnp.sum(win_ref[slot, :, ps._HB, :])
+        for b in blocks:
+            acc += jnp.sum(b[..., :1, :].astype(jnp.float32))
+        for o in outs:
+            o[...] = jnp.full(o.shape, acc, jnp.float32)
+
+    call = pl.pallas_call(
+        kernel, grid=(n_ty, n_tx), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, nplanes, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA(2),
+        ],
+    )
+    return _time_noop_twin(call, args, nbytes, iters)
+
+
+def _tok_specs(grid_rank: int):
+    """(in_spec, out_spec) for the twins' (8, 128) chaining token: a
+    constant-index block that creates the carry→call dependence keeping
+    the scan body live, without dragging a full-size output through the
+    carry (a 200 MB carry copy per iteration inflated the res=4096 twin
+    times ~5-10% and pushed the 'floor' above the measured step)."""
+    from jax.experimental import pallas as pl
+
+    zero = {1: lambda i: (0, 0), 2: lambda i, j: (0, 0)}[grid_rank]
+    spec = pl.BlockSpec((8, 128), zero)
+    return spec, spec
+
+
+def _time_noop_twin(call, args, nbytes, iters):
+    """Scan-amortized timing shared by the twin builders: the call's
+    LAST input and output are the (8, 128) chaining token — carry it so
+    the loop-invariant call cannot hoist, at negligible carry cost."""
+    if iters is None:
+        iters = min(2000, max(100, int(3e11 / nbytes)))
+    rest, tok0 = args[:-1], args[-1]
+
+    @jax.jit
+    def loop(tok, rest):
+        def body(c, _):
+            outs = call(*rest, c)
+            return outs[-1], None
+
+        out, _ = jax.lax.scan(body, tok, None, length=iters)
+        return out
+
+    out = loop(tok0, rest)
+    float(np.asarray(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = loop(tok0, rest)
+    float(np.asarray(out.ravel()[0]))
+    sec = (time.perf_counter() - t0) / iters
+    return nbytes / sec, nbytes
+
+
 def mix_bytes(name: str, x_rows: int, y_cols: int, t: int) -> int | None:
     """BlockSpec bytes per call implied by kernel `name`'s registered
     operand mix — must equal what the REAL kernel's `log_traffic` call
@@ -253,9 +560,13 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
             in_specs.append(cent(t, y_cols, lead))
             args.append(a)
 
-    out_specs = [cent(t, y_cols, lead) for lead in mix["outs"]]
+    tok_in, tok_out = _tok_specs(2 if cg else 1)
+    in_specs.append(tok_in)
+    args.append(jnp.zeros((8, 128), jnp.float32))
+    out_specs = [cent(t, y_cols, lead) for lead in mix["outs"]] + [tok_out]
     out_shape = [jax.ShapeDtypeStruct(arr_shape(lead), jnp.float32)
                  for lead in mix["outs"]]
+    out_shape.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
     nbytes = mix_bytes(name, x_rows, y_cols, t)
     n_in = len(in_specs)
 
@@ -273,34 +584,7 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
         kernel, grid=grid, in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
     )
-    if iters is None:
-        iters = min(2000, max(100, int(3e11 / nbytes)))
-
-    # Chain the first output into the first (shape-matching) arg so the
-    # scan cannot hoist the loop-invariant call.
-    first_shape = out_shape[0].shape
-    chain_idx = next(i for i, a in enumerate(args)
-                     if a.shape == first_shape and a.dtype == jnp.float32)
-    rest = [a for i, a in enumerate(args) if i != chain_idx]
-
-    @jax.jit
-    def loop(first, rest):
-        def body(c, _):
-            full = list(rest)
-            full.insert(chain_idx, c)
-            outs = call(*full)
-            return outs[0], None
-
-        out, _ = jax.lax.scan(body, first, None, length=iters)
-        return out
-
-    out = loop(args[chain_idx], rest)
-    float(np.asarray(out.ravel()[0]))
-    t0 = time.perf_counter()
-    out = loop(args[chain_idx], rest)
-    float(np.asarray(out.ravel()[0]))
-    sec = (time.perf_counter() - t0) / iters
-    return nbytes / sec, nbytes
+    return _time_noop_twin(call, args, nbytes, iters)
 
 
 def step_min_bytes(cfg: SimConfig, x_rows: int, y_cols: int) -> int:
@@ -420,7 +704,13 @@ def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100) -> d
         row = {"MB_per_step": round(nbytes / 2**20, 1)}
         t = tiles.get(name)
         ceiling = None
-        if t is not None:
+        if isinstance(t, tuple) and t[0] == "slide":
+            row["fetch"] = "slide"
+            ceiling = measure_slide_ceiling(name, 2 * res, res, t[1])
+        elif isinstance(t, tuple) and t[0] == "slide2d":
+            row["fetch"] = "slide2d"
+            ceiling = measure_slide2d_ceiling(name, 2 * res, res, t[1], t[2])
+        elif t is not None:
             # sor_x1 appears with and without the limiter outputs; the
             # registered mix uses the final-iteration (limited) form.
             ceiling = measure_mix_ceiling(name, 2 * res, res, t)
@@ -430,7 +720,7 @@ def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100) -> d
             row["floor_ms"] = round(nbytes / ceil_bps * 1e3, 3)
             floor_ms += nbytes / ceil_bps * 1e3
         else:
-            row["ceiling_GBps"] = None  # 2-D/sliding variant: no twin yet
+            row["ceiling_GBps"] = None  # no registered twin for this variant
             floor_complete = False
         kernels[name] = row
     report["kernels"] = kernels

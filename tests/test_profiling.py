@@ -44,44 +44,66 @@ def test_mix_registry_matches_real_kernels():
     logged tile. SOR/Jacobi log both limited and unlimited forms — the
     unlimited form's bytes coincide with the x2-named mix (same inputs,
     two center outputs)."""
+    res = 64
+    for scheme, solver in (("cip", "sor"), ("kk", "sor"), ("cip", "jacobi")):
+        _assert_registry(scheme, solver, res)
+
+
+def test_slide_registry_matches_real_kernels():
+    """Same guard at a 128-aligned lane width, where the kernels
+    dispatch their SLIDING manual-DMA variants: the ("slide", T) tile
+    markers must route to slide_bytes figures that match the ledger."""
+    slid = _assert_registry("cip", "sor", 128)
+    slid |= _assert_registry("kk", "sor", 128)
+    assert slid, "no sliding dispatch at the 128-aligned width"
+
+
+def _assert_registry(scheme, solver, res):
+    """Trace one step, compare every logged per-call byte figure against
+    the registered twin's byte model at the logged tile. Returns whether
+    any sliding dispatch was seen."""
     import fluid2d_tpu.ops.pallas_stencil as ps
     from fluid2d_tpu.models.simulator import step_fn_for
     from fluid2d_tpu.scenes.compile import get_scene
     from fluid2d_tpu.state import init_state
     import jax
 
-    res = 64
     x_rows, y_cols = 2 * res, res
-    for scheme, solver in (("cip", "sor"), ("kk", "sor"), ("cip", "jacobi")):
-        cfg = SimConfig.create(resolution=res, scheme=scheme, vor_eps=5.0,
-                               enable_dye=True, pressure_solver=solver,
-                               kernels="pallas_interpret")
-        scene = get_scene(2, res)
-        state = init_state(scene, cfg)
-        step = step_fn_for(cfg)
-        ledger, tiles = [], {}
-        ps.TRAFFIC_LOG, ps.TILE_LOG = ledger, tiles
-        try:
-            jax.make_jaxpr(lambda s: step(s, scene))(state)
-        finally:
-            ps.TRAFFIC_LOG, ps.TILE_LOG = None, None
-        assert ledger, (scheme, solver)
-        for name, nbytes in ledger:
-            t = tiles.get(name)
-            if t is None:
-                continue  # sliding/2-D variants: no registered twin
-            expect = profiling.mix_bytes(name, x_rows, y_cols, t)
-            if name in ("sor_x1", "jacobi_x1", "jacobi_x2"):
-                # limited + unlimited forms: x1/x2 mixes differ only in
-                # the two extra limiter output planes
-                alt = "sor_x2" if name == "sor_x1" else (
-                    "jacobi_x2" if name == "jacobi_x1" else "jacobi_x1")
-                allowed = {expect, profiling.mix_bytes(alt, x_rows, y_cols, t)}
-            else:
-                allowed = {expect}
-            assert expect is not None and nbytes in allowed, (
-                f"{name}@t={t}: logged {nbytes}, registry {sorted(allowed)}"
-            )
+    cfg = SimConfig.create(resolution=res, scheme=scheme, vor_eps=5.0,
+                           enable_dye=True, pressure_solver=solver,
+                           kernels="pallas_interpret")
+    scene = get_scene(2, res)
+    state = init_state(scene, cfg)
+    step = step_fn_for(cfg)
+    ledger, tiles = [], {}
+    ps.TRAFFIC_LOG, ps.TILE_LOG = ledger, tiles
+    try:
+        jax.make_jaxpr(lambda s: step(s, scene))(state)
+    finally:
+        ps.TRAFFIC_LOG, ps.TILE_LOG = None, None
+    assert ledger, (scheme, solver)
+    slid = False
+    for name, nbytes in ledger:
+        t = tiles.get(name)
+        if t is None or (isinstance(t, tuple) and t[0] == "slide2d"):
+            continue  # 2-D variants: byte model lives in the kernel
+        bytes_fn = profiling.mix_bytes
+        if isinstance(t, tuple):  # ("slide", T) marker
+            bytes_fn, t = profiling.slide_bytes, t[1]
+            slid = True
+        expect = bytes_fn(name, x_rows, y_cols, t)
+        if name in ("sor_x1", "jacobi_x1", "jacobi_x2"):
+            # limited + unlimited forms: x1/x2 mixes differ only in
+            # the two extra limiter output planes
+            alt = "sor_x2" if name == "sor_x1" else (
+                "jacobi_x2" if name == "jacobi_x1" else "jacobi_x1")
+            allowed = {expect, bytes_fn(alt, x_rows, y_cols, t)}
+        else:
+            allowed = {expect}
+        assert expect is not None and nbytes in allowed, (
+            f"{name}@t={t}: logged {nbytes}, registry {sorted(allowed)}"
+        )
+    return slid
 
 
 def test_measure_hbm_bandwidth_cpu_fallback():
