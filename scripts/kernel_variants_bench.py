@@ -112,7 +112,8 @@ def main() -> None:
                             "cip-dye-storder", "cip-dye-tile", "cip-vel-dma",
                             "cip-dye-win", "cip-vel-win", "cip-dye-slide",
                             "cip-vel-slide", "cip-vel-slide1d", "cip-dye-sub",
-                            "cip-vel-tile", "sor-fuse"])
+                            "cip-vel-tile", "cip-vel-auto-vs-2dslide",
+                            "sor-fuse"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
@@ -289,6 +290,26 @@ def main() -> None:
         for rnd in range(2):
             for label, fn in (("full-win", functools.partial(orig, dma_slide=False)),
                               (label_s, slide_arm)):
+                mod.cip_velocity_phase_pallas = fn
+                report(f"{label} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_velocity_phase_pallas = orig
+        return
+
+    if args.variant == "cip-vel-auto-vs-2dslide":
+        # The auto dispatch (at the 64 MiB arena: the 1-D triple kernel,
+        # t=16 at Y=4096 — the t<=8 guard no longer routes to 2-D) vs
+        # the forced row-sliding 2-D kernel. Round-4 question: the
+        # ledger's 1-D-loses measurement pinned t=8; t=16 was never
+        # compared.
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_velocity_phase_pallas
+
+        def slide_arm(*a, interpret=False):
+            return ph._cip_velocity_phase_2d_slide(*a, interpret=interpret)
+
+        for rnd in range(2):
+            for label, fn in (("auto(1-D)", orig), ("2d-slide", slide_arm)):
                 mod.cip_velocity_phase_pallas = fn
                 report(f"{label} r{rnd}", lambda: time_full_run(cfg, scene, args.steps))
         mod.cip_velocity_phase_pallas = orig
