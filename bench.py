@@ -27,19 +27,19 @@ def _setup_tpu():
 
 
 def bench_config(res: int, scheme: str, steps: int, *, enable_dye=True, vor_eps=5.0,
-                 bc=2, re=1_000_000.0, dt=None):
+                 bc=2, re=1_000_000.0, dt=None, dtype="float32"):
     _setup_tpu()
 
     from fluid2d_tpu.config import SimConfig
-    from fluid2d_tpu.models.simulator import make_run_fn
+    from fluid2d_tpu.models.simulator import make_run_fn, scene_for_dtype
     from fluid2d_tpu.scenes.compile import get_scene
     from fluid2d_tpu.state import init_state
 
     cfg = SimConfig.create(
         resolution=res, re=re, dt=dt, scheme=scheme, vor_eps=vor_eps,
-        enable_dye=enable_dye,
+        enable_dye=enable_dye, dtype=dtype,
     )
-    scene = get_scene(bc, res)
+    scene = scene_for_dtype(get_scene(bc, res), cfg)
     state = init_state(scene, cfg)
     run = make_run_fn(cfg)
 
@@ -110,6 +110,11 @@ def main() -> None:
     parser.add_argument("--res", type=int, default=1600)
     parser.add_argument("--scheme", type=str, default="cip", choices=["upwind", "kk", "cip"])
     parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Transport (HBM) dtype; arithmetic stays f32 "
+                             "(the headline metric stays float32 = reference "
+                             "parity; bfloat16 is the measured fast path)")
     parser.add_argument("--all", action="store_true", help="Print a side table of configs")
     parser.add_argument("--config", type=str, default=None,
                         help="BASELINE.json preset number 1..6, or 'all'")
@@ -149,11 +154,13 @@ def main() -> None:
                 rate, _ = bench_config(res, scheme, steps)
                 print(f"# res={res:5d} scheme={scheme:6s}: {rate:9.1f} steps/s", file=sys.stderr)
 
-    rate, state = bench_config(args.res, args.scheme, args.steps)
+    rate, state = bench_config(args.res, args.scheme, args.steps, dtype=args.dtype)
 
     import numpy as np
 
     metric = f"steps_per_sec_res{args.res}_{args.scheme}"
+    if args.dtype != "float32":
+        metric += f"_{args.dtype}"
     if np.isnan(np.asarray(state.v)).any():  # a benchmark of NaNs is not a benchmark
         print(json.dumps({"metric": metric, "value": 0.0,
                           "unit": "steps/s", "vs_baseline": 0.0}))

@@ -33,6 +33,7 @@ DEFAULTS = {
     "sor_omega": 1.3,
     "pressure_iters": 2,
     "kernels": "auto",
+    "dtype": "float32",
     "mask_image": "",
 }
 
@@ -90,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                         default=argparse.SUPPRESS,
                         help="Compute path: fused Pallas kernels (TPU default) "
                              "or plain XLA")
+    parser.add_argument("--dtype", type=str, choices=["float32", "bfloat16"],
+                        default=argparse.SUPPRESS,
+                        help="Transport (HBM storage) dtype of the state fields; "
+                             "arithmetic stays float32. bfloat16 halves kernel "
+                             "HBM traffic (the measured byte-rate bound, "
+                             "docs/BENCH.md) at one bf16 rounding per field per "
+                             "phase (default float32 = reference parity)")
     parser.add_argument("--sor-omega", type=float, default=argparse.SUPPRESS,
                         help="SOR relaxation factor (default 1.3)")
     parser.add_argument("--pressure-iters", type=int, default=argparse.SUPPRESS,
@@ -207,6 +215,8 @@ def main(argv: list[str] | None = None) -> None:
             overrides["pressure_solver"] = args.pressure_solver
         if explicit("kernels"):
             overrides["kernels"] = args.kernels
+        if explicit("dtype"):
+            overrides["dtype"] = args.dtype  # load re-narrows the state
         for dest, flag in (("advection_scheme", "-scheme"), ("no_dye", "-no_dye"),
                            ("resolution", "-res")):
             if explicit(dest):
@@ -231,6 +241,7 @@ def main(argv: list[str] | None = None) -> None:
             sor_omega=args.sor_omega,
             n_pressure_iter=args.pressure_iters,
             kernels=args.kernels,
+            dtype=args.dtype,
         )
         bc_num = args.boundary_condition if args.boundary_condition is not None else 1
         scene = get_scene(bc_num, args.resolution,

@@ -47,6 +47,13 @@ class SimConfig:
     # add compute) — see docs/BENCH.md ledger. Kept selectable for
     # bandwidth-starved regimes.
     sor_fuse: int = 1
+    # Transport (HBM storage) dtype for the state fields. All arithmetic
+    # stays float32 — kernels upcast on load and round once per phase
+    # store — so "bfloat16" halves every phase's HBM bytes at the cost
+    # of one bf16 rounding per field per phase (the kernels are measured
+    # byte-rate bound: docs/BENCH.md, the bf16 twin probe). float32 is
+    # the reference-parity default; bfloat16 is the opt-in fast path.
+    dtype: str = "float32"  # "float32" | "bfloat16"
 
     @staticmethod
     def create(
@@ -62,6 +69,7 @@ class SimConfig:
         velocity_limit: float = VELOCITY_LIMIT,
         kernels: str = "auto",
         sor_fuse: int = 1,
+        dtype: str = "float32",
     ) -> "SimConfig":
         """Mirror of the reference CLI's derived parameters
         (``main.py:56,63``): dt defaults to 0.05/res, dx = 1/res,
@@ -71,6 +79,9 @@ class SimConfig:
             raise ValueError(msg)
         if pressure_solver not in ("sor", "jacobi"):
             msg = f"Unknown pressure solver: {pressure_solver}"
+            raise ValueError(msg)
+        if dtype not in ("float32", "bfloat16"):
+            msg = f"Unknown transport dtype: {dtype}"
             raise ValueError(msg)
         if vor_eps is not None and vor_eps == 0.0:
             vor_eps = None
@@ -88,4 +99,5 @@ class SimConfig:
             velocity_limit=velocity_limit,
             kernels=kernels,
             sor_fuse=sor_fuse,
+            dtype=dtype,
         )

@@ -34,6 +34,7 @@ from fluid2d_tpu.ops.pallas_stencil import PallasInfeasibleError
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
+from fluid2d_tpu.utils.dtypes import f32
 from fluid2d_tpu.utils.notes import note_once
 
 __all__ = ["cip_step"]
@@ -73,23 +74,30 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                       "size; the velocity phase falls back to the jnp path")
             pallas = False  # grid too wide for VMEM tiles — jnp path
     if not pallas:
-        vc = velocity_bc(state.v, scene)
+        # Transport dtype: upcast on load, round once at the six phase
+        # outputs — the same rounding points as the Pallas kernel's
+        # stores (utils/dtypes.py).
+        sd = state.v.dtype
+        vc = velocity_bc(f32(state.v), scene)
 
         # --- Phase 1: non-advection (pressure + diffusion) into the alt
         # buffer.
-        v_na = jnp.where(nw, non_advection_velocity(vc, state.p, cfg.re, dt, dx), state.v_alt)
-        gx_cand, gy_cand = non_advection_grad(state.vx, state.vy, vc, v_na, dx)
-        vx_na = jnp.where(nw, gx_cand, state.vx_alt)
-        vy_na = jnp.where(nw, gy_cand, state.vy_alt)
+        v_na = jnp.where(
+            nw, non_advection_velocity(vc, f32(state.p), cfg.re, dt, dx), f32(state.v_alt)
+        )
+        gx_cand, gy_cand = non_advection_grad(f32(state.vx), f32(state.vy), vc, v_na, dx)
+        vx_na = jnp.where(nw, gx_cand, f32(state.vx_alt))
+        vy_na = jnp.where(nw, gy_cand, f32(state.vy_alt))
         # (swap: current = *_na, next = pre-phase current)
 
         # --- Phase 2: CIP advection at fluid cells, carried by the
         # phase-1 velocity; non-fluid cells of the write buffer keep the
         # pre-phase values (vc for v — BC-fresh inflow/outflow survive).
         v_cur, vx_cur, vy_cur = _advect_phase(
-            v_na, vx_na, vy_na, v_na, vc, state.vx, state.vy, scene, cfg
+            v_na, vx_na, vy_na, v_na, vc, f32(state.vx), f32(state.vy), scene, cfg
         )
-        v_alt, vx_alt, vy_alt = v_na, vx_na, vy_na
+        v_cur, vx_cur, vy_cur = (a.astype(sd) for a in (v_cur, vx_cur, vy_cur))
+        v_alt, vx_alt, vy_alt = (a.astype(sd) for a in (v_na, vx_na, vy_na))
 
     if cfg.vor_eps is not None:
         v_cur, v_alt = confinement(v_cur, v_alt, scene, cfg)
@@ -122,16 +130,24 @@ def cip_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                           "size; the dye phase falls back to the jnp path")
                 dye_pallas = False
         if not dye_pallas:
-            dc = dye_bc(state.dye, scene)
-            d_na = jnp.where(nw, non_advection_diffusion(dc, cfg.re, dt, dx), state.dye_alt)
-            dgx_cand, dgy_cand = non_advection_grad(state.dyex, state.dyey, dc, d_na, dx)
-            dx_na = jnp.where(nw, dgx_cand, state.dyex_alt)
-            dy_na = jnp.where(nw, dgy_cand, state.dyey_alt)
+            sd = state.dye.dtype
+            dc = dye_bc(f32(state.dye), scene)
+            d_na = jnp.where(
+                nw, non_advection_diffusion(dc, cfg.re, dt, dx), f32(state.dye_alt)
+            )
+            dgx_cand, dgy_cand = non_advection_grad(
+                f32(state.dyex), f32(state.dyey), dc, d_na, dx
+            )
+            dx_na = jnp.where(nw, dgx_cand, f32(state.dyex_alt))
+            dy_na = jnp.where(nw, dgy_cand, f32(state.dyey_alt))
 
             dye_adv, dyex_cur, dyey_cur = _advect_phase(
-                d_na, dx_na, dy_na, v_cur, dc, state.dyex, state.dyey, scene, cfg
+                d_na, dx_na, dy_na, f32(v_cur), dc, f32(state.dyex), f32(state.dyey),
+                scene, cfg
             )
-            dye_cur = clamp_field(dye_adv, 0.0, 1.0)
+            dye_cur = clamp_field(dye_adv, 0.0, 1.0).astype(sd)
+            dyex_cur, dyey_cur = dyex_cur.astype(sd), dyey_cur.astype(sd)
+            d_na, dx_na, dy_na = (a.astype(sd) for a in (d_na, dx_na, dy_na))
         kw.update(
             dye=dye_cur,
             dye_alt=d_na,

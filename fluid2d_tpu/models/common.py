@@ -18,6 +18,7 @@ from fluid2d_tpu.ops.pressure import jacobi_pressure_iteration, sor_pressure_ite
 from fluid2d_tpu.ops.stencil import diff2_x, diff2_y, diff_x, diff_y
 from fluid2d_tpu.ops.vorticity import apply_confinement
 from fluid2d_tpu.scenes.compile import Scene
+from fluid2d_tpu.utils.dtypes import f32
 from fluid2d_tpu.utils.notes import note_once
 
 __all__ = [
@@ -84,6 +85,7 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
             note_once("Pallas SOR kernel infeasible at this grid size; "
                       "pressure iterations fall back to the jnp path (slower)")
             sor_pallas = False
+    sd = p_cur.dtype
     if sor_pallas:
         one = lambda pair, _: (  # noqa: E731
             sor_iteration_pallas(
@@ -92,24 +94,29 @@ def update_pressure(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
             ),
             None,
         )
-    elif cfg.pressure_solver == "sor":
-        one = lambda pair, _: (  # noqa: E731
-            sor_pressure_iteration(*pair, v[0], v[1], scene, cfg.sor_omega, cfg.dt, cfg.dx),
-            None,
-        )
     else:
-        one = lambda pair, _: (  # noqa: E731
-            jacobi_pressure_iteration(*pair, v[0], v[1], scene, cfg.dt, cfg.dx),
-            None,
-        )
+        # jnp path: arithmetic in f32 regardless of the transport dtype;
+        # round back once after the iterations (utils/dtypes.py).
+        p_cur, p_alt = f32(p_cur), f32(p_alt)
+        u32, w32 = f32(v[0]), f32(v[1])
+        if cfg.pressure_solver == "sor":
+            one = lambda pair, _: (  # noqa: E731
+                sor_pressure_iteration(*pair, u32, w32, scene, cfg.sor_omega, cfg.dt, cfg.dx),
+                None,
+            )
+        else:
+            one = lambda pair, _: (  # noqa: E731
+                jacobi_pressure_iteration(*pair, u32, w32, scene, cfg.dt, cfg.dx),
+                None,
+            )
 
     if cfg.n_pressure_iter <= 4:
         pair = (p_cur, p_alt)
         for _ in range(cfg.n_pressure_iter):
             pair, _ = one(pair, None)
-        return pair
+        return pair[0].astype(sd), pair[1].astype(sd)
     pair, _ = jax.lax.scan(one, (p_cur, p_alt), None, length=cfg.n_pressure_iter)
-    return pair
+    return pair[0].astype(sd), pair[1].astype(sd)
 
 
 def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
@@ -136,7 +143,8 @@ def update_pressure_and_limit(p_cur, p_alt, v, scene: Scene, cfg: SimConfig):
         except PallasInfeasibleError:
             pass  # update_pressure below re-probes and prints the note
     p_cur, p_alt = update_pressure(p_cur, p_alt, v, scene, cfg)
-    return p_cur, p_alt, limit_vector_norm(v, cfg.velocity_limit)
+    v_lim = limit_vector_norm(f32(v), cfg.velocity_limit).astype(v.dtype)
+    return p_cur, p_alt, v_lim
 
 
 def _jacobi_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
@@ -211,4 +219,9 @@ def confinement(v_cur, v_alt, scene: Scene, cfg: SimConfig):
         except PallasInfeasibleError:
             note_once("Pallas confinement kernel infeasible at this grid "
                       "size; vorticity confinement falls back to the jnp path")
-    return apply_confinement(v_cur, v_alt, scene.fluid, cfg.dt, cfg.vor_eps, cfg.dx)
+    vn, _ = apply_confinement(
+        f32(v_cur), f32(v_alt), scene.fluid, cfg.dt, cfg.vor_eps, cfg.dx
+    )
+    # The alternate passes through untouched (the Pallas kernel's exact
+    # contract: only the fluid-updated buffer is a fresh store).
+    return vn.astype(v_cur.dtype), v_cur

@@ -31,6 +31,7 @@ from fluid2d_tpu.ops.pallas_stencil import PallasInfeasibleError
 from fluid2d_tpu.scenes.compile import Scene
 from fluid2d_tpu.scenes.runtime_bc import dye_bc, velocity_bc
 from fluid2d_tpu.state import SimState
+from fluid2d_tpu.utils.dtypes import f32
 from fluid2d_tpu.utils.notes import note_once
 
 __all__ = ["mac_step"]
@@ -59,14 +60,18 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                       "size; the velocity phase falls back to the jnp path")
             pallas = False  # grid too wide for VMEM tiles — jnp path
     if not pallas:
-        vc = velocity_bc(state.v, scene)
+        # Transport dtype: upcast on load, round once at the phase
+        # outputs — the same rounding points as the Pallas kernels'
+        # stores (utils/dtypes.py).
+        sd = state.v.dtype
+        vc = velocity_bc(f32(state.v), scene)
         rhs = (
             -advect(vc[0], vc[1], vc, dx)
-            - pressure_gradient(state.p, dx)
+            - pressure_gradient(f32(state.p), dx)
             + laplacian(vc, dx) / cfg.re
         )
-        v_cur = jnp.where(scene.fluid, vc + dt * rhs, state.v_alt)
-        v_alt = vc
+        v_cur = jnp.where(scene.fluid, vc + dt * rhs, f32(state.v_alt)).astype(sd)
+        v_alt = vc.astype(sd)
 
     if cfg.vor_eps is not None:
         v_cur, v_alt = confinement(v_cur, v_alt, scene, cfg)
@@ -90,9 +95,14 @@ def mac_step(state: SimState, scene: Scene, cfg: SimConfig) -> SimState:
                           "size; the dye phase falls back to the jnp path")
                 dye_pallas = False
         if not dye_pallas:
-            dc = dye_bc(state.dye, scene)
-            dn = dc - dt * advect(v_cur[0], v_cur[1], dc, dx)
-            dye_cur = clamp_field(jnp.where(scene.fluid, dn, state.dye_alt), 0.0, 1.0)
+            sd = state.dye.dtype
+            dc = dye_bc(f32(state.dye), scene)
+            vel = f32(v_cur)
+            dn = dc - dt * advect(vel[0], vel[1], dc, dx)
+            dye_cur = clamp_field(
+                jnp.where(scene.fluid, dn, f32(state.dye_alt)), 0.0, 1.0
+            ).astype(sd)
+            dc = dc.astype(sd)
         kw.update(dye=dye_cur, dye_alt=dc)
 
     return state._replace(**kw)

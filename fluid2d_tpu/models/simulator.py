@@ -13,6 +13,7 @@ import functools
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fluid2d_tpu.config import SimConfig
@@ -24,6 +25,18 @@ from fluid2d_tpu.utils import io as fio
 from fluid2d_tpu.utils.viz import render_rgb, to_image
 
 __all__ = ["FluidSimulator", "make_step_fn", "make_run_fn"]
+
+
+def scene_for_dtype(scene: Scene, cfg: SimConfig) -> Scene:
+    """Cast the scene's float planes (inflow velocity / dye colors) to
+    the transport dtype so every Pallas operand of a phase shares one
+    HBM dtype (the masks stay int8). Identity for float32."""
+    dt = jnp.dtype(cfg.dtype)
+    if scene.bc_const.dtype == dt:
+        return scene
+    return scene._replace(
+        bc_const=scene.bc_const.astype(dt), bc_dye=scene.bc_dye.astype(dt)
+    )
 
 
 def step_fn_for(cfg: SimConfig):
@@ -80,10 +93,13 @@ class FluidSimulator:
 
     def __init__(self, scene: Scene, cfg: SimConfig, state: SimState | None = None,
                  scene_meta: dict | None = None):
-        self.scene = scene
+        self.scene = scene_for_dtype(scene, cfg)
         self.cfg = cfg
         self.scene_meta = scene_meta or {}
-        self.state = init_state(scene, cfg) if state is None else state
+        # A provided state (resume / dtype override) is re-narrowed or
+        # widened to the config's transport dtype — exact in both
+        # directions for values that started life as bf16 stores.
+        self.state = init_state(scene, cfg) if state is None else fio._cast_state(state, cfg)
         self._run = make_run_fn(cfg)
         self._render = jax.jit(
             lambda state, scene, vis: render_rgb(state, scene, cfg, vis), static_argnums=2

@@ -37,8 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fluid2d_tpu.ops.pallas_stencil import (
     PallasInfeasibleError,
+    _cast_store,
     _check_tile,
+    _dma_ok,
     _HB,
+    _k32,
     _HY,
     _center2d_spec,
     _center_spec,
@@ -182,6 +185,9 @@ def _cip_velocity_body(
     column slicer — identity for 1-D row tiling, center-column slice for
     2-D tiling). Window row extents relative to the t output rows:
     ve ±5, pe/codee/conste ±3, vae/nwe ±2, vxe/vxae/vye/vyae ±1."""
+    v_out, vx_out, vy_out = _cast_store(v_out), _cast_store(vx_out), _cast_store(vy_out)
+    vna_out, vxna_out, vyna_out = (
+        _cast_store(vna_out), _cast_store(vxna_out), _cast_store(vyna_out))
     # 1. Velocity BC on rows [-3, t+3); re-clamp so shifted reads of the
     #    COMPUTED vc match the jnp path's clamp-to-edge at grid ends.
     uc_bc, wc_bc = _velocity_bc_window(ve[0], ve[1], codee, conste[0], conste[1])
@@ -330,8 +336,8 @@ def _cip_velocity_kernel_slide(
     def w(p0, lead, hx):
         r0, r1 = _HB - hx, _HB + t + hx
         if lead is None:
-            return win_ref[slot, p0, r0:r1, :]
-        return win_ref[slot, p0 : p0 + lead, r0:r1, :]
+            return _k32(win_ref[slot, p0, r0:r1, :])
+        return _k32(win_ref[slot, p0 : p0 + lead, r0:r1, :])
 
     ve, pe, vae = w(0, 2, 5), w(2, None, 3), w(3, 2, 2)
     vxe, vxae, vye, vyae = w(5, 2, 1), w(7, 2, 1), w(9, 2, 1), w(11, 2, 1)
@@ -367,6 +373,9 @@ def _cip_velocity_kernel_cgrid(
     two-channel-DAG footprint exceeds VMEM at any t)."""
     ti = pl.program_id(0)
     c = pl.program_id(1)
+    v_out, vx_out, vy_out = _cast_store(v_out), _cast_store(vx_out), _cast_store(vy_out)
+    vna_out, vxna_out, vyna_out = (
+        _cast_store(vna_out), _cast_store(vxna_out), _cast_store(vyna_out))
 
     @pl.when(c == 0)
     def _():
@@ -484,6 +493,14 @@ def cip_velocity_phase_pallas(
     2-D tiling; True/False force/skip the channel grid.
     """
     x_rows, y_cols = p.shape
+    # Manual-DMA fetch variants (sliding / DMA-window) are f32-only for
+    # now (see the transport-dtype note in pallas_stencil.py); bf16
+    # transport routes through the BlockSpec triple / 9-block paths,
+    # whose geometry the bf16 twin probe validated at 0.5× f32 time.
+    dma_able = _dma_ok(v, p, v_alt, scene.bc_const)
+    if (dma_slide is True or dma_windows is True) and not dma_able:
+        msg = "manual-DMA velocity variants are f32-only (bf16 transport)"
+        raise PallasInfeasibleError(msg)
 
     def cost_rows(t: int) -> float:
         # 15 f32 halo channels (v 2, p 1, v_alt 2, grads+alts 8, const 2)
@@ -521,7 +538,7 @@ def cip_velocity_phase_pallas(
         # row-sliding variant beats the full-window one (it ships ~1/3
         # of the bytes on this DMA-paced phase). dma_slide=False skips
         # the sliding variant; dma_windows=False forces 9-block.
-        if dma_windows is None:
+        if dma_windows is None and dma_able:
             if dma_slide is None and _pick_tile2d_slide(x_rows, y_cols) is not None:
                 return _cip_velocity_phase_2d_slide(
                     v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx,
@@ -536,7 +553,7 @@ def cip_velocity_phase_pallas(
             v, p, v_alt, vx, vx_alt, vy, vy_alt, scene, re, dt, dx, interpret=interpret
         )
     if (tile_x is None and t <= _HB and dma_windows is None
-            and dma_slide is None
+            and dma_slide is None and dma_able
             and _pick_tile2d_slide(x_rows, y_cols) is not None):
         # Measured at res=4096 under the raised scoped-VMEM limit: the
         # 1-D kernel now COMPILES at t=8 but loses to the row-sliding
@@ -561,7 +578,7 @@ def cip_velocity_phase_pallas(
     # (tests/test_pallas.py).
     if sliding is None:
         sliding = False
-    if sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2:
+    if sliding and dma_able and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2:
         rows = t + 2 * _HB
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         i8 = lambda: _halo_triple_specs(t, y_cols, n_t, None)  # noqa: E731
@@ -572,10 +589,10 @@ def cip_velocity_phase_pallas(
         )
         log_traffic(
             "cip_velocity",
-            15 * (rows + (n_t - 1) * t) * y_cols * 4
+            15 * (rows + (n_t - 1) * t) * y_cols * v.dtype.itemsize
             + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
             + center_bytes(x_rows, y_cols, None, itemsize=1)
-            + 12 * center_bytes(x_rows, y_cols, None),
+            + 12 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
         )
         kernel = functools.partial(
             _cip_velocity_kernel_slide, n_t, t, x_rows, re, dt, dx)
@@ -621,10 +638,10 @@ def cip_velocity_phase_pallas(
         )
     log_traffic(
         "cip_velocity",
-        15 * triple_bytes(x_rows, y_cols, t, None)
+        15 * triple_bytes(x_rows, y_cols, t, None, itemsize=v.dtype.itemsize)
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 12 * center_bytes(x_rows, y_cols, None),
+        + 12 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
         t=t,
     )
 
@@ -684,10 +701,10 @@ def _cip_velocity_phase_cgrid(
     # shared blocks once per tile.
     log_traffic(
         "cip_velocity",
-        15 * triple_bytes(x_rows, y_cols, t, None)
+        15 * triple_bytes(x_rows, y_cols, t, None, itemsize=v.dtype.itemsize)
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 12 * center_bytes(x_rows, y_cols, None),
+        + 12 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
         t=t,
     )
 
@@ -750,10 +767,10 @@ def _cip_velocity_phase_2d(
     )
     log_traffic(
         "cip_velocity_2d",
-        15 * nine_bytes(x_rows, y_cols, t, ty, None)
+        15 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=v.dtype.itemsize)
         + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 12 * center_bytes(x_rows, y_cols, None),
+        + 12 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
     )
 
     kernel = functools.partial(_cip_velocity_kernel_2d, n_tx, n_ty, ty, re, dt, dx)
@@ -890,8 +907,8 @@ def _cip_velocity_kernel_2d_dma(
     def w(p0, lead, hx):
         r0, r1 = _HB - hx, _HB + t + hx
         if lead is None:
-            return win_ref[slot, p0, r0:r1, :]
-        return win_ref[slot, p0 : p0 + lead, r0:r1, :]
+            return _k32(win_ref[slot, p0, r0:r1, :])
+        return _k32(win_ref[slot, p0 : p0 + lead, r0:r1, :])
 
     e2i = lambda r9, hx: _ext2d(  # noqa: E731
         [r[:].astype(jnp.int32) for r in r9], ti, tj, n_tx, n_ty, hx
@@ -960,10 +977,10 @@ def _cip_velocity_phase_2d_dma(
     n_tiles = n_tx * n_ty
     log_traffic(
         "cip_velocity_2d",
-        _VEL_DMA_NPLANES * rows * cols * 4 * n_tiles
+        _VEL_DMA_NPLANES * rows * cols * v.dtype.itemsize * n_tiles
         + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 12 * center_bytes(x_rows, y_cols, None),
+        + 12 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
     )
 
     kernel = functools.partial(
@@ -1077,8 +1094,8 @@ def _cip_velocity_kernel_2d_slide(
     def w(p0, lead, hx):
         r0, r1 = _HB - hx, _HB + t + hx
         if lead is None:
-            return win_ref[slot, p0, r0:r1, :]
-        return win_ref[slot, p0 : p0 + lead, r0:r1, :]
+            return _k32(win_ref[slot, p0, r0:r1, :])
+        return _k32(win_ref[slot, p0 : p0 + lead, r0:r1, :])
 
     e2i = lambda r9, hx: _ext2d(  # noqa: E731
         [r[:].astype(jnp.int32) for r in r9], ti, tj, n_tx, n_ty, hx
@@ -1157,10 +1174,10 @@ def _cip_velocity_phase_2d_slide(
     slide_rows = rows + (n_tx - 1) * t
     log_traffic(
         "cip_velocity_2d",
-        _VEL_DMA_NPLANES * slide_rows * cols * 4 * n_ty
+        _VEL_DMA_NPLANES * slide_rows * cols * v.dtype.itemsize * n_ty
         + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 12 * center_bytes(x_rows, y_cols, None),
+        + 12 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
         slide2d=(t, ty),
     )
 
@@ -1199,6 +1216,9 @@ def _cip_dye_body(
     channels in-kernel and passes ``oc=c``. `win(key, hx)` yields this
     channel's row window for input `key`; `vctx` is the shared
     carrying-velocity context; `cs` slices output columns."""
+    d_out, dx_out, dy_out = _cast_store(d_out), _cast_store(dx_out), _cast_store(dy_out)
+    dna_out, dxna_out, dyna_out = (
+        _cast_store(dna_out), _cast_store(dxna_out), _cast_store(dyna_out))
     nw_mid = nwe != 0
     nw_in = nw_mid[1:-1]
 
@@ -1359,6 +1379,10 @@ class _row_view:
     def __init__(self, ref, r0: int, n: int):
         self.ref, self.r0, self.n = ref, r0, n
 
+    @property
+    def dtype(self):
+        return self.ref.dtype
+
     def __setitem__(self, key, val):
         self.ref[key, self.r0 : self.r0 + self.n] = val
 
@@ -1426,9 +1450,9 @@ def _cip_dye_kernel_slide(
 
         def win(key, hx, r0=r0):
             k = keys[key]
-            return win_ref[slot, k, _HB + r0 - hx : _HB + r0 + t + hx, :]
+            return _k32(win_ref[slot, k, _HB + r0 - hx : _HB + r0 + t + hx, :])
 
-        vele = win_ref[slot, 7:9, _HB + r0 - 1 : _HB + r0 + t + 1, :]
+        vele = _k32(win_ref[slot, 7:9, _HB + r0 - 1 : _HB + r0 + t + 1, :])
         vctx = cip_velocity_ctx(vele[0], vele[1], dt, dx)
         # Virtual t-row tile index: _reclamp's grid-edge predicates hold
         # exactly for (first tile, first subtile) / (last, last).
@@ -1489,10 +1513,10 @@ def _cip_dye_phase_slide(
     slide_rows = rows + (n_t - 1) * T
     log_traffic(
         "cip_dye",
-        (7 * chans + 2 * chans) * slide_rows * y_cols * 4
+        (7 * chans + 2 * chans) * slide_rows * y_cols * dye.dtype.itemsize
         + 2 * chans * (x_rows + 2 * _HB * n_t) * y_cols
         + chans * x_rows * y_cols
-        + 6 * chans * center_bytes(x_rows, y_cols, None),
+        + 6 * chans * center_bytes(x_rows, y_cols, None, itemsize=dye.dtype.itemsize),
         slide_t=T,
     )
 
@@ -1599,7 +1623,8 @@ def cip_dye_phase_pallas(
     # measured 27.3 → 28.8 steps/s end-to-end at res=4096 (the t=8 halo
     # amplification drops 3× → ~1×; the remaining gap to the byte model
     # is VPU-bound window work — docs/BENCH.md ledger).
-    can_slide = y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+    can_slide = (_dma_ok(dye, vel, scene.bc_dye) and y_cols % _HY == 0
+                 and x_rows >= t + 2 * _HB and n_t >= 2)
     if sliding is None:
         sliding = True
     if sliding and can_slide:
@@ -1658,10 +1683,11 @@ def cip_dye_phase_pallas(
     # index maps across the minor c steps → no re-fetch).
     log_traffic(
         "cip_dye",
-        (6 * chans + 2 + chans) * triple_bytes(x_rows, y_cols, t, None)
+        (6 * chans + 2 + chans)
+        * triple_bytes(x_rows, y_cols, t, None, itemsize=dye.dtype.itemsize)
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 6 * chans * center_bytes(x_rows, y_cols, None),
+        + 6 * chans * center_bytes(x_rows, y_cols, None, itemsize=dye.dtype.itemsize),
         t=t,
     )
 
@@ -1710,10 +1736,11 @@ def _cip_dye_phase_2d(
     )
     log_traffic(
         "cip_dye_2d",
-        (6 * chans + 2 + chans) * nine_bytes(x_rows, y_cols, t, ty, None)
+        (6 * chans + 2 + chans)
+        * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=dye.dtype.itemsize)
         + 2 * nine_bytes(x_rows, y_cols, t, ty, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 6 * chans * center_bytes(x_rows, y_cols, None),
+        + 6 * chans * center_bytes(x_rows, y_cols, None, itemsize=dye.dtype.itemsize),
     )
 
     kernel = functools.partial(_cip_dye_kernel_2d, n_tx, n_ty, ty, chans, re, dt, dx)
@@ -1765,12 +1792,13 @@ def _confinement_kernel_slide(
 
     _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_t, t, slot,
                  head_sems=head_sems)
-    ve = win_ref[slot, :, _HB - 2 : _HB + t + 2, :]
+    ve = _k32(win_ref[slot, :, _HB - 2 : _HB + t + 2, :])
     fle = _ext(fl_c[:], fl_p8[:], fl_n8[:], ti, n_t, 1).astype(jnp.int32)
     _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref)
 
 
 def _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref):
+    vn_ref = _cast_store(vn_ref)
     fluid_mid = fle != 0  # rows [-1, t+1)
 
     # ω = ∂w/∂x − ∂u/∂y on rows [-1, t+1); zero at non-fluid (the
@@ -1802,8 +1830,8 @@ def _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref):
     fluid = fluid_mid[1:-1]
     u_c = u_w[2:-2]
     w_c = w_w[2:-2]
-    vn_ref[0] = jnp.where(fluid, u_c + dt * weight * fx, va_ref[0])
-    vn_ref[1] = jnp.where(fluid, w_c + dt * weight * fy, va_ref[1])
+    vn_ref[0] = jnp.where(fluid, u_c + dt * weight * fx, _k32(va_ref[0]))
+    vn_ref[1] = jnp.where(fluid, w_c + dt * weight * fy, _k32(va_ref[1]))
 
 
 def confinement_pallas(
@@ -1828,7 +1856,8 @@ def confinement_pallas(
 
     if sliding is None:
         sliding = True
-    sliding = sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+    sliding = (sliding and _dma_ok(v) and y_cols % _HY == 0
+               and x_rows >= t + 2 * _HB and n_t >= 2)
 
     rows = t + 2 * _HB
     scratch_shapes = []
@@ -1845,7 +1874,7 @@ def confinement_pallas(
             pltpu.SemaphoreType.DMA(2),
         ]
         args = (v, v_alt, fluid8, fluid8, fluid8)
-        v_bytes = 2 * (rows + (n_t - 1) * t) * y_cols * 4
+        v_bytes = 2 * (rows + (n_t - 1) * t) * y_cols * v.dtype.itemsize
     else:
         specs = (
             _halo_triple_specs(t, y_cols, n_t, 2)
@@ -1854,12 +1883,12 @@ def confinement_pallas(
         )
         kernel = functools.partial(_confinement_kernel, n_t, dt, weight, dx)
         args = (v, v, v, v_alt, fluid8, fluid8, fluid8)
-        v_bytes = 2 * triple_bytes(x_rows, y_cols, t, None)
+        v_bytes = 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=v.dtype.itemsize)
     log_traffic(
         "confinement",
         v_bytes
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
-        + 4 * center_bytes(x_rows, y_cols, None),
+        + 4 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
         t=None if sliding else t, slide_t=t if sliding else None,
     )
     vn = pl.pallas_call(
@@ -1931,7 +1960,7 @@ def _mac_velocity_kernel_slide(
     halo = 2 if scheme == "kk" else 1
 
     def win(k, n, hx):
-        w = win_ref[slot, k : k + n, _HB - hx : _HB + t + hx, :]
+        w = _k32(win_ref[slot, k : k + n, _HB - hx : _HB + t + hx, :])
         return w[0] if n == 1 else w
 
     ve = win(0, 2, 2 + halo)
@@ -1946,6 +1975,8 @@ def _mac_velocity_core(
     ti, n_t: int, scheme: str, re: float, dt: float, dx: float,
     ve, pe, vac, codee, conste, fluid, v_out, vbc_out,
 ):
+    v_out, vbc_out = _cast_store(v_out), _cast_store(vbc_out)
+    vac = _k32(vac)
     halo = 2 if scheme == "kk" else 1
     # BC on rows [-halo, t+halo), re-clamped at grid-edge tiles.
     uc, wc = _velocity_bc_window(ve[0], ve[1], codee, conste[0], conste[1])
@@ -2001,7 +2032,8 @@ def mac_velocity_phase_pallas(
 
     if sliding is None:
         sliding = True
-    sliding = sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+    sliding = (sliding and _dma_ok(v, p, scene.bc_const) and y_cols % _HY == 0
+               and x_rows >= t + 2 * _HB and n_t >= 2)
 
     rows = t + 2 * _HB
     scratch_shapes = []
@@ -2020,7 +2052,7 @@ def mac_velocity_phase_pallas(
             pltpu.SemaphoreType.DMA((2, 5)),
             pltpu.SemaphoreType.DMA(2),
         ]
-        f32_bytes = 5 * (rows + (n_t - 1) * t) * y_cols * 4
+        f32_bytes = 5 * (rows + (n_t - 1) * t) * y_cols * v.dtype.itemsize
     else:
         h2 = lambda lead: _halo_triple_specs(t, y_cols, n_t, lead)  # noqa: E731
         specs = (
@@ -2030,13 +2062,13 @@ def mac_velocity_phase_pallas(
         args = [v] * 3 + [p] * 3 + [v_alt] + [scene.vbc_code] * 3 \
             + [scene.bc_const] * 3 + [scene.fluid8]
         kernel = functools.partial(_mac_velocity_kernel, n_t, scheme, re, dt, dx)
-        f32_bytes = 5 * triple_bytes(x_rows, y_cols, t, None)
+        f32_bytes = 5 * triple_bytes(x_rows, y_cols, t, None, itemsize=v.dtype.itemsize)
     log_traffic(
         "mac_velocity",
         f32_bytes
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 6 * center_bytes(x_rows, y_cols, None),
+        + 6 * center_bytes(x_rows, y_cols, None, itemsize=v.dtype.itemsize),
         t=None if sliding else t, slide_t=t if sliding else None,
     )
 
@@ -2061,11 +2093,12 @@ def _mac_dye_kernel(
     ti = pl.program_id(0)
     chans = d_c.shape[0]
     halo = 2 if scheme == "kk" else 1
+    d_out, dbc_out = _cast_store(d_out), _cast_store(dbc_out)
 
     inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, halo).astype(jnp.int32)
     fluid = fluid_ref[:] != 0
-    u_cen = vel_ref[0]
-    w_cen = vel_ref[1]
+    u_cen = _k32(vel_ref[0])
+    w_cen = _k32(vel_ref[1])
     advect = _advect_kk_window if scheme == "kk" else _advect_upwind_window
 
     for c in range(chans):
@@ -2073,7 +2106,7 @@ def _mac_dye_kernel(
         bcde = _ext(bcd_c[c], bcd_p8[c], bcd_n8[c], ti, n_t, halo)
         dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
         dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
-        d_out[c] = clamp_field(jnp.where(fluid, dn, da_ref[c]), 0.0, 1.0)
+        d_out[c] = clamp_field(jnp.where(fluid, dn, _k32(da_ref[c])), 0.0, 1.0)
         dbc_out[c] = dc[halo:-halo]
 
 
@@ -2112,18 +2145,19 @@ def _mac_dye_kernel_slide(
                  head_sems=head_sems)
 
     halo = 2 if scheme == "kk" else 1
+    d_out, dbc_out = _cast_store(d_out), _cast_store(dbc_out)
     inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, halo).astype(jnp.int32)
     fluid = fluid_ref[:] != 0
-    u_cen = vel_ref[0]
-    w_cen = vel_ref[1]
+    u_cen = _k32(vel_ref[0])
+    w_cen = _k32(vel_ref[1])
     advect = _advect_kk_window if scheme == "kk" else _advect_upwind_window
 
     for c in range(chans):
-        de = win_ref[slot, c, _HB - halo : _HB + t + halo, :]
-        bcde = win_ref[slot, chans + c, _HB - halo : _HB + t + halo, :]
+        de = _k32(win_ref[slot, c, _HB - halo : _HB + t + halo, :])
+        bcde = _k32(win_ref[slot, chans + c, _HB - halo : _HB + t + halo, :])
         dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
         dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
-        d_out[c] = clamp_field(jnp.where(fluid, dn, da_ref[c]), 0.0, 1.0)
+        d_out[c] = clamp_field(jnp.where(fluid, dn, _k32(da_ref[c])), 0.0, 1.0)
         dbc_out[c] = dc[halo:-halo]
 
 
@@ -2135,18 +2169,19 @@ def _mac_dye_kernel_cgrid(
 ):
     ti = pl.program_id(0)
     halo = 2 if scheme == "kk" else 1
+    d_out, dbc_out = _cast_store(d_out), _cast_store(dbc_out)
 
     inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, halo).astype(jnp.int32)
     fluid = fluid_ref[:] != 0
-    u_cen = vel_ref[0]
-    w_cen = vel_ref[1]
+    u_cen = _k32(vel_ref[0])
+    w_cen = _k32(vel_ref[1])
     advect = _advect_kk_window if scheme == "kk" else _advect_upwind_window
 
     de = _ext(d_c[0], d_p8[0], d_n8[0], ti, n_t, halo)
     bcde = _ext(bcd_c[0], bcd_p8[0], bcd_n8[0], ti, n_t, halo)
     dc = _reclamp(jnp.where(inflowe != 0, bcde, de), ti, n_t, halo)
     dn = dc[halo:-halo] - dt * advect(u_cen, w_cen, dc, dx)
-    d_out[0] = clamp_field(jnp.where(fluid, dn, da_c2[0]), 0.0, 1.0)
+    d_out[0] = clamp_field(jnp.where(fluid, dn, _k32(da_c2[0])), 0.0, 1.0)
     dbc_out[0] = dc[halo:-halo]
 
 
@@ -2186,19 +2221,20 @@ def mac_dye_phase_pallas(
 
     if sliding is None:
         sliding = True
-    sliding = (sliding and not channel_grid and y_cols % _HY == 0
-               and x_rows >= t + 2 * _HB and n_t >= 2)
+    sliding = (sliding and not channel_grid and _dma_ok(dye, vel, scene.bc_dye)
+               and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2)
+    isz = dye.dtype.itemsize
     f32_in = (
-        2 * chans * ((t + 2 * _HB) + (n_t - 1) * t) * y_cols * 4
-        if sliding else 2 * chans * triple_bytes(x_rows, y_cols, t, None)
+        2 * chans * ((t + 2 * _HB) + (n_t - 1) * t) * y_cols * isz
+        if sliding else 2 * chans * triple_bytes(x_rows, y_cols, t, None, itemsize=isz)
     )
     log_traffic(
         "mac_dye",
         f32_in
         + triple_bytes(x_rows, y_cols, t, None, itemsize=1)
-        + (2 + chans) * center_bytes(x_rows, y_cols, None)
+        + (2 + chans) * center_bytes(x_rows, y_cols, None, itemsize=isz)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 2 * chans * center_bytes(x_rows, y_cols, None),
+        + 2 * chans * center_bytes(x_rows, y_cols, None, itemsize=isz),
         t=None if sliding else t, slide_t=t if sliding else None,
     )
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)

@@ -51,6 +51,49 @@ class PallasInfeasibleError(ValueError):
 _HB = 8  # side-halo block rows (Mosaic's sublane tile)
 _HY = 128  # 2-D tiling lane-halo block columns (one lane tile)
 
+# --- transport dtype (bf16 HBM storage, f32 compute) ---------------------------
+#
+# SimConfig.dtype="bfloat16" halves every f32 plane's HBM bytes — the
+# measured byte-rate lever (docs/BENCH.md bf16 twin probe: identical
+# operand geometry at half the bytes runs in 0.50× the time). Kernel
+# contract: blocks arrive in the transport dtype; window assembly
+# upcasts to f32 (`_k32`, applied inside _ext/_wext/_ext2d and at direct
+# block reads), ALL window arithmetic is f32, and each output store
+# rounds once to the out ref's dtype (`_cast_store`) — the same rounding
+# points as the jnp path's phase outputs (models/*.py). The manual-DMA
+# (sliding / DMA-window) variants are f32-only for now: their
+# make_async_copy row slices assume the f32 (8, 128) tiling granularity
+# and are gated by `_dma_ok` pending on-chip bf16 validation.
+
+
+def _k32(x):
+    """Upcast a reduced-precision block to f32 for window arithmetic
+    (identity for f32 / integer blocks)."""
+    return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+
+
+class _cast_store:
+    """Output-ref adapter rounding every store to the ref's dtype —
+    no-op wrapping for f32 outputs (astype is the identity there)."""
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    @property
+    def dtype(self):
+        return self.ref.dtype
+
+    def __setitem__(self, idx, val):
+        self.ref[idx] = val.astype(self.ref.dtype)
+
+
+def _dma_ok(*arrays) -> bool:
+    """Whether the manual-DMA fetch variants may run on these operands
+    (all f32 — see the transport-dtype note above)."""
+    return all(a.dtype == jnp.float32 for a in arrays)
+
 # --- BlockSpec-derived HBM traffic ledger ------------------------------------
 #
 # When TRAFFIC_LOG is a list, every Pallas phase entry point appends
@@ -192,7 +235,9 @@ def _ext(cur, prev8, next8, ti, n_t, h: int):
 
     Rows [r0-h, r0+t+h) with global clamp: at the first/last tile the
     missing halo is the replicated edge row of the current tile.
+    bf16 blocks are upcast to f32 here (the transport-dtype load point).
     """
+    cur, prev8, next8 = _k32(cur), _k32(prev8), _k32(next8)
     row_ax = cur.ndim - 2
     top = jnp.where(
         ti == 0,
@@ -492,6 +537,7 @@ def _wext(F, ti, n_t: int, t: int, hx: int, h: int = _HB):
     pay one selected shifted slice (their clamped fetch is offset by h
     rows) plus the edge-row replication.
     """
+    F = _k32(F)
     row_ax = F.ndim - 2
     first = ti == 0
     last = ti == n_t - 1
@@ -612,8 +658,9 @@ _LH2 = _HY  # lane-halo width the 2-D kernels keep of each fetched
 def _ext2d(vals9, ti, tj, n_tx: int, n_ty: int, hx: int, lh: int = _LH2):
     """(…, t+2hx, ty+2·lh) window from a 9-block fetch (as arrays), with
     raw clamp-to-edge replication at the global row/column ends. `lh` is
-    the lane-halo width kept from the fetched 128-column side blocks."""
-    cur, xm, xp, ym, yp, cmm, cmp_, cpm, cpp = vals9
+    the lane-halo width kept from the fetched 128-column side blocks.
+    bf16 blocks are upcast to f32 here (the transport-dtype load point)."""
+    cur, xm, xp, ym, yp, cmm, cmp_, cpm, cpp = (_k32(v) for v in vals9)
     cat_y = lambda parts: jnp.concatenate(parts, axis=-1)  # noqa: E731
     cat_x = lambda parts: jnp.concatenate(parts, axis=-2)  # noqa: E731
 
@@ -837,7 +884,7 @@ def _cip_kernel(
     fy3 = (next(it), next(it), next(it))
     vel3 = f3 if vel_is_f else (next(it), next(it), next(it))
     alt_f, alt_fx, alt_fy, fluid_ref = next(it), next(it), next(it), next(it)
-    fn_ref, fxn_ref, fyn_ref = next(it), next(it), next(it)
+    fn_ref, fxn_ref, fyn_ref = (_cast_store(next(it)) for _ in range(3))
 
     ti = pl.program_id(0)
     h = 1
@@ -857,9 +904,9 @@ def _cip_kernel(
 
         fn, fxn, fyn = cip_advect_window_expr(fe, fxe, fye, ve[0], ve[1], dt, dx, ctx=vctx)
 
-        fn_ref[c] = jnp.where(fluid, fn, alt_f[c])
-        fxn_ref[c] = jnp.where(fluid, fxn, alt_fx[c])
-        fyn_ref[c] = jnp.where(fluid, fyn, alt_fy[c])
+        fn_ref[c] = jnp.where(fluid, fn, _k32(alt_f[c]))
+        fxn_ref[c] = jnp.where(fluid, fxn, _k32(alt_fx[c]))
+        fyn_ref[c] = jnp.where(fluid, fyn, _k32(alt_fy[c]))
 
 
 def cip_advect_pallas(
@@ -903,10 +950,11 @@ def cip_advect_pallas(
     args += [alt_f, alt_fx, alt_fy, fluid8]
     log_traffic(
         "cip_advect",
-        (3 * chans + (0 if vel_is_f else 2)) * triple_bytes(x_rows, y_cols, t, None)
-        + 3 * chans * center_bytes(x_rows, y_cols, None)
+        (3 * chans + (0 if vel_is_f else 2))
+        * triple_bytes(x_rows, y_cols, t, None, itemsize=f.dtype.itemsize)
+        + 3 * chans * center_bytes(x_rows, y_cols, None, itemsize=f.dtype.itemsize)
         + center_bytes(x_rows, y_cols, None, itemsize=1)
-        + 3 * chans * center_bytes(x_rows, y_cols, None),
+        + 3 * chans * center_bytes(x_rows, y_cols, None, itemsize=f.dtype.itemsize),
         t=t,
     )
 
@@ -1064,7 +1112,7 @@ def _sor_kernel_slide(
                  head_sems=head_sems)
 
     def win(k, hx):
-        return win_ref[slot, k, _HB - hx : _HB + t + hx, :]
+        return _k32(win_ref[slot, k, _HB - hx : _HB + t + hx, :])
 
     pe = win(0, hh)
     pae = win(1, hh - 2)
@@ -1082,6 +1130,7 @@ def _sor_core(
     pe, pae, ue, we, codee, fle,
     pn_ref, pc_ref, *maybe_vlim_ref,
 ):
+    pn_ref, pc_ref = _cast_store(pn_ref), _cast_store(pc_ref)
     hh = 3 * n_iters
     y = pe.shape[-1]
 
@@ -1137,7 +1186,7 @@ def _sor_core(
     if v_limit is not None:
         # Fold the velocity-norm limiter (fs/solver.py:38-43,89) into the
         # final SOR iteration: u/w center rows are already resident.
-        vlim_ref = maybe_vlim_ref[0]
+        vlim_ref = _cast_store(maybe_vlim_ref[0])
         uc = _sl(ue, hh - 1)
         wc = _sl(we, hh - 1)
         norm = jnp.sqrt(uc * uc + wc * wc)
@@ -1191,7 +1240,8 @@ def sor_iteration_pallas(
     # f32 inputs drops from (t+16)/t to ~1.
     if sliding is None:
         sliding = True
-    sliding = sliding and y_cols % _HY == 0 and x_rows >= t + 2 * _HB and n_t >= 2
+    sliding = (sliding and _dma_ok(p_cur) and y_cols % _HY == 0
+               and x_rows >= t + 2 * _HB and n_t >= 2)
 
     i8_specs = (
         _halo_triple_specs(t, y_cols, n_t, None)
@@ -1210,7 +1260,7 @@ def sor_iteration_pallas(
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA(2),
         ]
-        f32_bytes = 4 * (rows + (n_t - 1) * t) * y_cols * 4
+        f32_bytes = 4 * (rows + (n_t - 1) * t) * y_cols * p_cur.dtype.itemsize
     else:
         specs = (
             _halo_triple_specs(t, y_cols, n_t, None)
@@ -1221,12 +1271,13 @@ def sor_iteration_pallas(
         )
         args = [p_cur] * 3 + [p_alt] * 3 + [u] * 3 + [w] * 3 + [pbc_code] * 3 + [fluid8] * 3
         kernel = functools.partial(_sor_kernel, n_t, omega, dt, dx, v_limit, n_iters)
-        f32_bytes = 4 * triple_bytes(x_rows, y_cols, t, None)
+        f32_bytes = 4 * triple_bytes(x_rows, y_cols, t, None, itemsize=p_cur.dtype.itemsize)
     log_traffic(
         f"sor_x{n_iters}",
         f32_bytes
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
-        + (4 if v_limit is not None else 2) * center_bytes(x_rows, y_cols, None),
+        + (4 if v_limit is not None else 2)
+        * center_bytes(x_rows, y_cols, None, itemsize=p_cur.dtype.itemsize),
         t=None if sliding else t, slide_t=t if sliding else None,
     )
 
@@ -1257,6 +1308,7 @@ def _jacobi_kernel(
     code_c, code_p8, code_n8, nw_c, nw_p8, nw_n8,
     pn_ref, pc_ref, *maybe_vlim_ref,
 ):
+    pn_ref, pc_ref = _cast_store(pn_ref), _cast_store(pc_ref)
     ti = pl.program_id(0)
     t = p_c.shape[0]
     hh = 2 * n_iters  # each iteration consumes 2 halo rows: BC + sweep
@@ -1297,7 +1349,7 @@ def _jacobi_kernel(
     pc_ref[:] = _sl(alt, (alt.shape[0] - t) // 2)
 
     if v_limit is not None:
-        vlim_ref = maybe_vlim_ref[0]
+        vlim_ref = _cast_store(maybe_vlim_ref[0])
         uc = _sl(ue, hh - 1)
         wc = _sl(we, hh - 1)
         norm = jnp.sqrt(uc * uc + wc * wc)
@@ -1356,9 +1408,10 @@ def jacobi_iteration_pallas(
     )
     log_traffic(
         f"jacobi_x{n_iters}",
-        4 * triple_bytes(x_rows, y_cols, t, None)
+        4 * triple_bytes(x_rows, y_cols, t, None, itemsize=p_cur.dtype.itemsize)
         + 2 * triple_bytes(x_rows, y_cols, t, None, itemsize=1)
-        + (4 if v_limit is not None else 2) * center_bytes(x_rows, y_cols, None),
+        + (4 if v_limit is not None else 2)
+        * center_bytes(x_rows, y_cols, None, itemsize=p_cur.dtype.itemsize),
         t=t,
     )
     kernel = functools.partial(_jacobi_kernel, n_t, dt, dx, v_limit, n_iters)

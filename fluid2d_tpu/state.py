@@ -52,12 +52,16 @@ class SimState(NamedTuple):
 
 def init_state(scene: Scene, cfg: SimConfig) -> SimState:
     """All-zero initial fields, with CIP gradients initialized from the
-    (zero) fields like the reference's ``_set_grad`` (``fs/solver.py:190,351``)."""
+    (zero) fields like the reference's ``_set_grad`` (``fs/solver.py:190,351``).
+
+    Arrays are allocated in ``cfg.dtype`` — the transport (HBM storage)
+    dtype; all arithmetic remains float32 regardless (see config.py)."""
     x_res, y_res = scene.shape
+    dt = jnp.dtype(cfg.dtype)
     zf = lambda c=None: (  # noqa: E731
-        jnp.zeros((x_res, y_res), jnp.float32)
+        jnp.zeros((x_res, y_res), dt)
         if c is None
-        else jnp.zeros((c, x_res, y_res), jnp.float32)
+        else jnp.zeros((c, x_res, y_res), dt)
     )
 
     kw = dict(
@@ -69,10 +73,11 @@ def init_state(scene: Scene, cfg: SimConfig) -> SimState:
     )
     if cfg.scheme == "cip":
         gx, gy = grad_of(kw["v"], cfg.dx)
-        kw.update(vx=gx, vx_alt=zf(2), vy=gy, vy_alt=zf(2))
+        kw.update(vx=gx.astype(dt), vx_alt=zf(2), vy=gy.astype(dt), vy_alt=zf(2))
     if cfg.enable_dye:
         kw.update(dye=zf(3), dye_alt=zf(3))
         if cfg.scheme == "cip":
             dgx, dgy = grad_of(kw["dye"], cfg.dx)
-            kw.update(dyex=dgx, dyex_alt=zf(3), dyey=dgy, dyey_alt=zf(3))
+            kw.update(dyex=dgx.astype(dt), dyex_alt=zf(3),
+                      dyey=dgy.astype(dt), dyey_alt=zf(3))
     return SimState(**kw)

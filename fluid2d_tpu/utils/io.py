@@ -25,12 +25,32 @@ def fields_to_numpy(state: SimState) -> dict[str, np.ndarray]:
     """Reference-layout field dump (``fs/fluid_simulator.py:34-36,117-119``):
     v → (X, Y, 2), p → (X, Y), dye → (X, Y, 3) when present."""
     out = {
-        "v": np.moveaxis(np.asarray(state.v), 0, -1),
-        "p": np.asarray(state.p),
+        "v": np.moveaxis(_npz_safe(np.asarray(state.v)), 0, -1),
+        "p": _npz_safe(np.asarray(state.p)),
     }
     if state.dye is not None:
-        out["dye"] = np.moveaxis(np.asarray(state.dye), 0, -1)
+        out["dye"] = np.moveaxis(_npz_safe(np.asarray(state.dye)), 0, -1)
     return out
+
+
+def _npz_safe(arr: np.ndarray) -> np.ndarray:
+    """Widen non-native float dtypes (ml_dtypes bfloat16) to float32 —
+    np.savez cannot serialize them without pickling. Lossless."""
+    return arr.astype(np.float32) if arr.dtype.kind == "V" or str(arr.dtype) == "bfloat16" else arr
+
+
+def _cast_state(state: SimState, cfg: SimConfig) -> SimState:
+    """Re-narrow float leaves to the config's transport dtype (identity
+    when they already match; integer leaves untouched)."""
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(cfg.dtype)
+    return SimState(*(
+        leaf.astype(dt)
+        if leaf is not None and jnp.issubdtype(leaf.dtype, jnp.floating) and leaf.dtype != dt
+        else leaf
+        for leaf in state
+    ))
 
 
 def _is_orbax_dir(path: Path) -> bool:
@@ -63,8 +83,11 @@ def save_checkpoint(path: str | Path, state: SimState, cfg: SimConfig,
         _save_orbax(path, state, meta)
         return
     path.parent.mkdir(parents=True, exist_ok=True)
+    # npz has no native bfloat16: store reduced-precision transport
+    # leaves widened to float32 (exact) and re-narrow on load.
     arrays = {
-        name: np.asarray(leaf) for name, leaf in zip(state._fields, state) if leaf is not None
+        name: _npz_safe(np.asarray(leaf))
+        for name, leaf in zip(state._fields, state) if leaf is not None
     }
     arrays["__config__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
@@ -83,7 +106,7 @@ def load_checkpoint(path: str | Path) -> tuple[SimState, SimConfig, dict]:
         leaves = {
             name: jnp.asarray(data[name]) for name in SimState._fields if name in data.files
         }
-    return SimState(**leaves), cfg, meta.get("scene", {})
+    return _cast_state(SimState(**leaves), cfg), cfg, meta.get("scene", {})
 
 
 def _save_orbax(path: Path, state: SimState, meta: dict) -> None:
@@ -104,7 +127,10 @@ def _load_orbax(path: Path) -> tuple[SimState, SimConfig, dict]:
     cfg = SimConfig(**meta["config"])
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(path / "state")
-    return SimState(**tree), cfg, meta.get("scene", {})
+    import jax.numpy as jnp
+
+    tree = {k: jnp.asarray(v) for k, v in tree.items()}
+    return _cast_state(SimState(**tree), cfg), cfg, meta.get("scene", {})
 
 
 def write_png(path: str | Path, image: np.ndarray) -> None:

@@ -23,6 +23,8 @@ def divergence(v, dx: float):
 
 @jax.jit
 def _diag_arrays(v, p, fluid, dx):
+    v = v.astype(jnp.float32)  # diagnostics in f32 whatever the transport dtype
+    p = p.astype(jnp.float32)
     div = jnp.where(fluid, divergence(v, dx), 0.0)
     speed = jnp.sqrt(v[0] ** 2 + v[1] ** 2)
     n_fluid = jnp.maximum(fluid.sum(), 1)

@@ -112,6 +112,12 @@ def render_rgb(state, scene, cfg, vis: int | str = 0):
     3 = raw dye; walls painted (0.5, 0.7, 0.5). Returns (X, Y, 3) float32."""
     if isinstance(vis, str):
         vis = VIS_MODES.index(vis)
+    # Render in f32 whatever the transport dtype (one upcast per frame).
+    state = state._replace(
+        v=state.v.astype(jnp.float32),
+        p=state.p.astype(jnp.float32),
+        **({"dye": state.dye.astype(jnp.float32)} if state.dye is not None else {}),
+    )
     if vis == 0:
         rgb = 0.2 * visualize_norm(state.v) + 0.002 * visualize_pressure(state.p)
     elif vis == 1:

@@ -122,6 +122,9 @@ def main() -> None:
                    help="comma list of tile_x values for cip-dye-tile")
     p.add_argument("--force-tile2d", type=str, default=None,
                    help="T,TY tile override for the cip-vel-slide arm")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="transport dtype for every arm (A/B bf16 layouts)")
     p.add_argument("--force-tile", type=int, default=None,
                    help="pass tile_x to the variant arm (bypass the VMEM "
                         "cost model — Mosaic may still refuse to compile)")
@@ -131,10 +134,12 @@ def main() -> None:
     from fluid2d_tpu.config import SimConfig
     from fluid2d_tpu.scenes.compile import get_scene
 
+    from fluid2d_tpu.models.simulator import scene_for_dtype
+
     scheme = args.scheme or ("kk" if args.variant == "mac-dye-cgrid" else "cip")
-    scene = get_scene(args.bc, args.res)
     cfg = SimConfig.create(resolution=args.res, re=1e6, scheme=scheme,
-                           vor_eps=5.0, enable_dye=True)
+                           vor_eps=5.0, enable_dye=True, dtype=args.dtype)
+    scene = scene_for_dtype(get_scene(args.bc, args.res), cfg)
 
     def report(label, thunk):
         try:
