@@ -122,6 +122,48 @@ def test_bf16_field_dump_widens_to_f32():
     assert fields["p"].dtype == np.float32
 
 
+@pytest.mark.parametrize("path", ["gspmd", "halo"])
+def test_bf16_sharded_matches_single_device(path):
+    """bf16 transport under spatial decomposition: the shards hold bf16
+    leaves, the ghost exchange ships bf16 rows (half the link bytes),
+    and the result must track the single-device bf16 run. Tolerance is
+    a few bf16 ulps: the two compilations reorder f32 arithmetic, and
+    each phase-store rounding can then flip the nearest bf16."""
+    from fluid2d_tpu.parallel.sharding import make_mesh, shard_pytree
+    from fluid2d_tpu.utils.io import _cast_state
+    from tests.test_parity import _random_fields, _seed_state
+
+    res = 128 if path == "halo" else 32
+    cfg = SimConfig.create(resolution=res, re=1000.0, scheme="cip",
+                           vor_eps=5.0, enable_dye=True, dtype="bfloat16")
+    scene = scene_for_dtype(get_scene(2, res), cfg)
+    fields = _random_fields(np.zeros(scene.shape, bool), True, True, seed=11)
+    seed = lambda: _cast_state(  # noqa: E731 — identical bf16 start both runs
+        _seed_state(init_state(scene, cfg), fields), cfg
+    )
+
+    ref = make_run_fn(cfg)(seed(), scene, 6)
+
+    mesh = make_mesh(8)
+    if path == "halo":
+        from fluid2d_tpu.parallel.halo import ghost_width, make_sharded_run_halo
+
+        assert 2 * res // 8 >= 2 * ghost_width(cfg)
+        run_s = make_sharded_run_halo(cfg, mesh)
+    else:
+        run_s = make_run_fn(cfg)
+    got = run_s(shard_pytree(seed(), mesh), shard_pytree(scene, mesh), 6)
+
+    for name, a, b in zip(ref._fields, ref, got):
+        if a is None or name == "step":
+            continue
+        assert b.dtype == a.dtype, name
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, atol=0.02 * scale, rtol=0, err_msg=name)
+
+
 def test_dtype_is_part_of_cli_surface():
     from fluid2d_tpu.cli import build_parser
 
