@@ -135,7 +135,7 @@ def main() -> None:
         _setup_tpu()  # the roofline compiles kernels whose tiles assume it
         from fluid2d_tpu.utils.profiling import roofline_report
 
-        rep = roofline_report(args.res, args.scheme, args.steps)
+        rep = roofline_report(args.res, args.scheme, args.steps, dtype=args.dtype)
         # One machine-readable JSON line (VERDICT r2 item #7) plus the
         # human-readable echo on stderr.
         print(json.dumps({"roofline": rep}))

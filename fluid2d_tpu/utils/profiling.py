@@ -491,7 +491,8 @@ def _time_noop_twin(call, args, nbytes, iters):
     return nbytes / sec, nbytes
 
 
-def mix_bytes(name: str, x_rows: int, y_cols: int, t: int) -> int | None:
+def mix_bytes(name: str, x_rows: int, y_cols: int, t: int,
+              itemsize: int = 4) -> int | None:
     """BlockSpec bytes per call implied by kernel `name`'s registered
     operand mix — must equal what the REAL kernel's `log_traffic` call
     reports at the same grid/tile, or the mix twin no longer models the
@@ -505,25 +506,29 @@ def mix_bytes(name: str, x_rows: int, y_cols: int, t: int) -> int | None:
     chans = 3
     nbytes = 0
     for kind, lead in mix["ins"]:
-        isz = 1 if kind.endswith("8") else 4
+        isz = 1 if kind.endswith("8") else itemsize
         ld = chans if lead == "c" else lead
         if kind.startswith("t"):
             nbytes += ps.triple_bytes(x_rows, y_cols, t, ld, itemsize=isz)
         else:
             nbytes += ps.center_bytes(x_rows, y_cols, ld, itemsize=isz)
     nbytes += sum(
-        ps.center_bytes(x_rows, y_cols, chans if lead == "c" else lead)
+        ps.center_bytes(x_rows, y_cols, chans if lead == "c" else lead,
+                        itemsize=itemsize)
         for lead in mix["outs"]
     )
     return nbytes
 
 
 def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
-                        iters: int | None = None) -> tuple[float, int] | None:
+                        iters: int | None = None,
+                        dtype=None) -> tuple[float, int] | None:
     """Measured DMA ceiling (bytes/s of BlockSpec bytes, and the bytes
     per call) for kernel `name`'s operand mix: a no-op pallas_call with
     the same spec structure on DISTINCT full-size arrays (full-reduction
     consumption — a scalar read lets the pipeline skip moving bytes).
+    `dtype` is the float planes' transport dtype (default f32; bf16
+    builds the half-byte twin the bf16 transport mode dispatches).
     None when the kernel has no registered mix (2-D / sliding variants)
     or the backend is not TPU."""
     import fluid2d_tpu.ops.pallas_stencil as ps
@@ -533,6 +538,7 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
     mix = _KERNEL_MIXES.get(name)
     if mix is None or jax.default_backend() != "tpu":
         return None
+    fdt = jnp.dtype(dtype or jnp.float32)
     n_t = x_rows // t
     if n_t < 2 or x_rows % t:
         return None
@@ -551,8 +557,7 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
 
     in_specs, args = [], []
     for k, (kind, lead) in enumerate(mix["ins"]):
-        dtype = jnp.int8 if kind.endswith("8") else jnp.float32
-        a = jnp.full(arr_shape(lead), k + 1, dtype)
+        a = jnp.full(arr_shape(lead), k + 1, jnp.int8 if kind.endswith("8") else fdt)
         if kind.startswith("t"):
             in_specs += trip(t, y_cols, n_t, lead)
             args += [a] * 3
@@ -564,10 +569,10 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
     in_specs.append(tok_in)
     args.append(jnp.zeros((8, 128), jnp.float32))
     out_specs = [cent(t, y_cols, lead) for lead in mix["outs"]] + [tok_out]
-    out_shape = [jax.ShapeDtypeStruct(arr_shape(lead), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct(arr_shape(lead), fdt)
                  for lead in mix["outs"]]
     out_shape.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
-    nbytes = mix_bytes(name, x_rows, y_cols, t)
+    nbytes = mix_bytes(name, x_rows, y_cols, t, itemsize=fdt.itemsize)
     n_in = len(in_specs)
 
     def kernel(*refs):
@@ -577,7 +582,7 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
             v = r[...]
             acc += jnp.sum(v.astype(jnp.float32))
         for o in outs:
-            o[...] = jnp.full(o.shape, acc, jnp.float32)
+            o[...] = jnp.full(o.shape, acc, o.dtype)
 
     grid = (n_t, chans) if cg else (n_t,)
     call = pl.pallas_call(
@@ -590,7 +595,7 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
 def step_min_bytes(cfg: SimConfig, x_rows: int, y_cols: int) -> int:
     """Lower bound on HBM bytes one step must move: every carried array
     written once + each phase's inputs read once."""
-    cell = x_rows * y_cols * 4
+    cell = x_rows * y_cols * jnp.dtype(cfg.dtype).itemsize
     if cfg.scheme == "cip":
         writes = 2 * 6  # v/vx/vy cur+na
         reads = 2 * 7 + 1  # v, p, v_alt, grads+alts, masks-ish
@@ -626,11 +631,11 @@ def step_blockspec_bytes(cfg: SimConfig, res: int, bc: int = 2) -> dict[str, int
     Returns {} when the config routes to the jnp/XLA path (no Pallas
     kernels → no BlockSpecs to account)."""
     import fluid2d_tpu.ops.pallas_stencil as ps
-    from fluid2d_tpu.models.simulator import step_fn_for
+    from fluid2d_tpu.models.simulator import scene_for_dtype, step_fn_for
     from fluid2d_tpu.scenes.compile import get_scene
     from fluid2d_tpu.state import init_state
 
-    scene = get_scene(bc, res)
+    scene = scene_for_dtype(get_scene(bc, res), cfg)
     state = init_state(scene, cfg)
     step = step_fn_for(cfg)
     ledger: list[tuple[str, int]] = []
@@ -649,7 +654,8 @@ def step_blockspec_bytes(cfg: SimConfig, res: int, bc: int = 2) -> dict[str, int
     return per_kernel
 
 
-def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100) -> dict:
+def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100,
+                    dtype: str = "float32") -> dict:
     """Measure steps/s against MEASURED rooflines (VERDICT r3 item #2).
 
     Denominators (all measured on this device, working sets beyond
@@ -668,12 +674,13 @@ def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100) -> d
     ``pct_of_copy_roofline`` uses the copy rate (the number a perfect
     1-stream restructure could chase).
     """
-    from fluid2d_tpu.models.simulator import make_run_fn
+    from fluid2d_tpu.models.simulator import make_run_fn, scene_for_dtype
     from fluid2d_tpu.scenes.compile import get_scene
     from fluid2d_tpu.state import init_state
 
-    cfg = SimConfig.create(resolution=res, scheme=scheme, vor_eps=5.0, enable_dye=True)
-    scene = get_scene(2, res)
+    cfg = SimConfig.create(resolution=res, scheme=scheme, vor_eps=5.0,
+                           enable_dye=True, dtype=dtype)
+    scene = scene_for_dtype(get_scene(2, res), cfg)
     state = init_state(scene, cfg)
     run = make_run_fn(cfg)
 
@@ -713,7 +720,8 @@ def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100) -> d
         elif t is not None:
             # sor_x1 appears with and without the limiter outputs; the
             # registered mix uses the final-iteration (limited) form.
-            ceiling = measure_mix_ceiling(name, 2 * res, res, t)
+            ceiling = measure_mix_ceiling(name, 2 * res, res, t,
+                                          dtype=jnp.dtype(cfg.dtype))
         if ceiling is not None:
             ceil_bps, _ = ceiling
             row["ceiling_GBps"] = round(ceil_bps / 1e9, 1)

@@ -1,6 +1,8 @@
 """utils/profiling: traffic accounting, bandwidth fallback, trace capture."""
 
+import functools
 import os
+
 import numpy as np
 
 from fluid2d_tpu.config import SimConfig
@@ -49,6 +51,14 @@ def test_mix_registry_matches_real_kernels():
         _assert_registry(scheme, solver, res)
 
 
+def test_mix_registry_matches_real_kernels_bf16():
+    """Same guard under bf16 transport: the kernels log halved float
+    bytes and `mix_bytes(itemsize=2)` must agree (the bf16 roofline's
+    byte model)."""
+    _assert_registry("cip", "sor", 64, dtype="bfloat16")
+    _assert_registry("kk", "jacobi", 64, dtype="bfloat16")
+
+
 def test_slide_registry_matches_real_kernels():
     """Same guard at a 128-aligned lane width, where the kernels
     dispatch their SLIDING manual-DMA variants: the ("slide", T) tile
@@ -58,21 +68,23 @@ def test_slide_registry_matches_real_kernels():
     assert slid, "no sliding dispatch at the 128-aligned width"
 
 
-def _assert_registry(scheme, solver, res):
+def _assert_registry(scheme, solver, res, dtype="float32"):
     """Trace one step, compare every logged per-call byte figure against
     the registered twin's byte model at the logged tile. Returns whether
     any sliding dispatch was seen."""
     import fluid2d_tpu.ops.pallas_stencil as ps
-    from fluid2d_tpu.models.simulator import step_fn_for
+    from fluid2d_tpu.models.simulator import scene_for_dtype, step_fn_for
     from fluid2d_tpu.scenes.compile import get_scene
     from fluid2d_tpu.state import init_state
     import jax
+    import jax.numpy as jnp
 
     x_rows, y_cols = 2 * res, res
+    itemsize = jnp.dtype(dtype).itemsize
     cfg = SimConfig.create(resolution=res, scheme=scheme, vor_eps=5.0,
                            enable_dye=True, pressure_solver=solver,
-                           kernels="pallas_interpret")
-    scene = get_scene(2, res)
+                           kernels="pallas_interpret", dtype=dtype)
+    scene = scene_for_dtype(get_scene(2, res), cfg)
     state = init_state(scene, cfg)
     step = step_fn_for(cfg)
     ledger, tiles = [], {}
@@ -87,10 +99,11 @@ def _assert_registry(scheme, solver, res):
         t = tiles.get(name)
         if t is None or (isinstance(t, tuple) and t[0] == "slide2d"):
             continue  # 2-D variants: byte model lives in the kernel
-        bytes_fn = profiling.mix_bytes
         if isinstance(t, tuple):  # ("slide", T) marker
             bytes_fn, t = profiling.slide_bytes, t[1]
             slid = True
+        else:
+            bytes_fn = functools.partial(profiling.mix_bytes, itemsize=itemsize)
         expect = bytes_fn(name, x_rows, y_cols, t)
         if name in ("sor_x1", "jacobi_x1", "jacobi_x2"):
             # limited + unlimited forms: x1/x2 mixes differ only in
