@@ -102,16 +102,17 @@ _LEDGER_GROUPS = {
 }
 
 
-def capture(res: int, scheme: str, steps: int, bc: int, logdir: str) -> dict:
+def capture(res: int, scheme: str, steps: int, bc: int, logdir: str,
+            dtype: str = "float32") -> dict:
     from fluid2d_tpu.config import SimConfig
-    from fluid2d_tpu.models.simulator import make_run_fn
+    from fluid2d_tpu.models.simulator import make_run_fn, scene_for_dtype
     from fluid2d_tpu.scenes.compile import get_scene
     from fluid2d_tpu.state import init_state
     from fluid2d_tpu.utils.profiling import step_blockspec_bytes
 
     cfg = SimConfig.create(resolution=res, re=1e6, scheme=scheme,
-                           vor_eps=5.0, enable_dye=True)
-    scene = get_scene(bc, res)
+                           vor_eps=5.0, enable_dye=True, dtype=dtype)
+    scene = scene_for_dtype(get_scene(bc, res), cfg)
     state = init_state(scene, cfg)
     run = make_run_fn(cfg)
 
@@ -165,13 +166,18 @@ def main() -> None:
     p.add_argument("--scheme", type=str, default="cip")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--bc", type=int, default=2)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Transport (HBM) dtype — bf16 halves the ledger's "
+                        "float bytes (utils/profiling logs the real figure)")
     p.add_argument("--json", type=str, default="")
     p.add_argument("--keep-trace", action="store_true")
     args = p.parse_args()
 
     logdir = tempfile.mkdtemp(prefix="fluid2d_trace_") if not args.keep_trace \
         else f"/tmp/fluid2d_trace_res{args.res}"
-    cap = capture(args.res, args.scheme, args.steps, args.bc, logdir)
+    cap = capture(args.res, args.scheme, args.steps, args.bc, logdir,
+                  dtype=args.dtype)
     tr = parse_trace(logdir, args.steps, args.scheme)
 
     agg = tr["agg"]
@@ -210,6 +216,7 @@ def main() -> None:
     report = {
         "res": args.res,
         "scheme": args.scheme,
+        "dtype": args.dtype,
         "steps": args.steps,
         "wall_steps_per_sec": round(args.steps / cap["wall_s"], 1),
         "device_loop_us_per_step": round(loop_us, 1),
