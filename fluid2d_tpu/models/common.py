@@ -163,7 +163,15 @@ def _jacobi_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
 
     n = cfg.n_pressure_iter
     step = min(n, 4)
-    call((p_cur, p_alt), step, None, probe=True)  # may raise → caller falls back
+    # Probe EVERY distinct call form before tracing any real call: the
+    # final call folds the velocity limiter (higher VMEM cost), so
+    # probing only the vl=None form could admit a chain whose last link
+    # proves infeasible after intermediate calls already logged traffic
+    # (ADVICE r4 — log_traffic's really-dispatched invariant).
+    final_k = ((n - 1) % step) + 1
+    call((p_cur, p_alt), final_k, v_limit, probe=True)  # may raise → fallback
+    if n > step:
+        call((p_cur, p_alt), step, None, probe=True)
 
     pair = (p_cur, p_alt)
     while n > step:
@@ -197,6 +205,13 @@ def _sor_pallas_iters(p_cur, p_alt, v, scene, cfg, interp, v_limit=None):
             step = 1
     if step == 1:
         call((p_cur, p_alt), 1, None, probe=True)  # may raise → caller falls back
+    # Probe the final call's exact form too (it folds the velocity
+    # limiter, raising VMEM cost) so no intermediate call is traced —
+    # and traffic-logged — for a chain whose last link can't compile
+    # (ADVICE r4).
+    final_k = ((n - 1) % step) + 1
+    if v_limit is not None:
+        call((p_cur, p_alt), final_k, v_limit, probe=True)
 
     pair = (p_cur, p_alt)
     while n > step:

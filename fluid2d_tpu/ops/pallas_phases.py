@@ -117,41 +117,50 @@ def _velocity_bc_window(u_w, w_w, code, const_u, const_w):
 
 
 def _lap_window(f_w, dx: float):
-    """∇²f on a ±1-halo window → interior rows (fs/differentiation.py:54-60)."""
+    """∇²f on a ±1-halo window → interior rows (fs/differentiation.py:54-60).
+
+    Divides by grid constants are strength-reduced to multiplies by
+    Python-computed reciprocals throughout these helpers: Mosaic has no
+    strength-reduction pass and a VPU divide costs several passes, while
+    the reassociation stays within ~1 ulp of the reference's literal
+    algebra (inside every Pallas-vs-jnp test tolerance; the jnp path
+    keeps the reference's divides)."""
+    inv_dx2 = 1.0 / dx**2
     fc = f_w[1:-1]
-    ddx = (f_w[2:] - 2.0 * fc + f_w[:-2]) / dx**2
-    ddy = (_sy(fc, 1) - 2.0 * fc + _sy(fc, -1)) / dx**2
-    return ddx + ddy
+    ddx = f_w[2:] - 2.0 * fc + f_w[:-2]
+    ddy = _sy(fc, 1) - 2.0 * fc + _sy(fc, -1)
+    return (ddx + ddy) * inv_dx2
 
 
 def _grad_pair_window(p_w, dx: float):
     """(∂p/∂x, ∂p/∂y) on a ±1-halo window → interior rows."""
+    half_inv_dx = 0.5 / dx
     pc = p_w[1:-1]
-    gx = 0.5 * (p_w[2:] - p_w[:-2]) / dx
-    gy = 0.5 * (_sy(pc, 1) - _sy(pc, -1)) / dx
+    gx = (p_w[2:] - p_w[:-2]) * half_inv_dx
+    gy = (_sy(pc, 1) - _sy(pc, -1)) * half_inv_dx
     return gx, gy
 
 
 def _grad_update_window(g_c, delta_w, axis: str, dx: float):
     """CIP gradient update from the non-advection change
     (fs/solver.py:242-261): g + (Δ[+1] − Δ[−1]) / (2dx) along `axis`."""
+    half_inv_dx = 0.5 / dx
     if axis == "x":
-        return g_c + (delta_w[2:] - delta_w[:-2]) / (2.0 * dx)
+        return g_c + (delta_w[2:] - delta_w[:-2]) * half_inv_dx
     dc = delta_w[1:-1]
-    return g_c + (_sy(dc, 1) - _sy(dc, -1)) / (2.0 * dx)
+    return g_c + (_sy(dc, 1) - _sy(dc, -1)) * half_inv_dx
 
 
 def _advect_upwind_window(u_c, w_c, phi_w, dx: float):
     """First-order upwind advection term (fs/advection.py:13-24) on a
-    ±1-halo phi window; u/w aligned with the interior."""
+    ±1-halo phi window; u/w aligned with the interior. The 1/dx scale
+    factors out of both selected one-sided differences exactly, so the
+    four divides become ONE trailing multiply."""
+    inv_dx = 1.0 / dx
     pc = phi_w[1:-1]
-    fdx = (phi_w[2:] - pc) / dx
-    bdx = (pc - phi_w[:-2]) / dx
-    ax = u_c * jnp.where(u_c < 0.0, fdx, bdx)
-    fdy = (_sy(pc, 1) - pc) / dx
-    bdy = (pc - _sy(pc, -1)) / dx
-    ay = w_c * jnp.where(w_c < 0.0, fdy, bdy)
-    return ax + ay
+    ax = u_c * jnp.where(u_c < 0.0, phi_w[2:] - pc, pc - phi_w[:-2])
+    ay = w_c * jnp.where(w_c < 0.0, _sy(pc, 1) - pc, pc - _sy(pc, -1))
+    return (ax + ay) * inv_dx
 
 
 def _advect_kk_window(u_c, w_c, phi_w, dx: float):
@@ -163,14 +172,16 @@ def _advect_kk_window(u_c, w_c, phi_w, dx: float):
     m1x, m2x = phi_w[1 : 1 + n], phi_w[0:n]
     neg_x = -2.0 * p2x + 10.0 * p1x - 9.0 * pc + 2.0 * m1x - 1.0 * m2x
     pos_x = 1.0 * p2x - 2.0 * p1x + 9.0 * pc - 10.0 * m1x + 2.0 * m2x
-    a = jnp.where(u_c < 0.0, neg_x, pos_x) / (6.0 * dx)
+    a = jnp.where(u_c < 0.0, neg_x, pos_x)
 
     p2y, p1y = _sy(pc, 2), _sy(pc, 1)
     m1y, m2y = _sy(pc, -1), _sy(pc, -2)
     neg_y = -2.0 * p2y + 10.0 * p1y - 9.0 * pc + 2.0 * m1y - 1.0 * m2y
     pos_y = 1.0 * p2y - 2.0 * p1y + 9.0 * pc - 10.0 * m1y + 2.0 * m2y
-    b = jnp.where(w_c < 0.0, neg_y, pos_y) / (6.0 * dx)
-    return u_c * a + w_c * b
+    b = jnp.where(w_c < 0.0, neg_y, pos_y)
+    # 1/(6dx) factors out of both selected stencils (see _lap_window's
+    # strength-reduction note): two divides become one multiply.
+    return (u_c * a + w_c * b) * (1.0 / (6.0 * dx))
 
 
 # --- CIP velocity phase kernel ----------------------------------------------
@@ -198,8 +209,9 @@ def _cip_velocity_body(
     #    fn = fc + (-∇p + ∇²fc/Re)·dt at not-wall, else the alt buffer.
     gpx, gpy = _grad_pair_window(pe, dx)  # rows [-2, t+2)
     nw_mid = nwe != 0  # rows [-2, t+2)
-    u_na = jnp.where(nw_mid, uc_bc[1:-1] + (-gpx + _lap_window(uc_bc, dx) / re) * dt, vae[0])
-    w_na = jnp.where(nw_mid, wc_bc[1:-1] + (-gpy + _lap_window(wc_bc, dx) / re) * dt, vae[1])
+    inv_re = 1.0 / re  # strength-reduced (see _lap_window)
+    u_na = jnp.where(nw_mid, uc_bc[1:-1] + (-gpx + _lap_window(uc_bc, dx) * inv_re) * dt, vae[0])
+    w_na = jnp.where(nw_mid, wc_bc[1:-1] + (-gpy + _lap_window(wc_bc, dx) * inv_re) * dt, vae[1])
     u_na = _reclamp(u_na, ti, n_t, 2)
     w_na = _reclamp(w_na, ti, n_t, 2)
 
@@ -390,11 +402,12 @@ def _cip_velocity_kernel_cgrid(
         wc_bc = _reclamp(wc_bc, ti, n_t, 3)
         gpx, gpy = _grad_pair_window(pe, dx)
         nw_mid = nwe != 0
+        inv_re = 1.0 / re  # strength-reduced (see _lap_window)
         u_na = jnp.where(
-            nw_mid, uc_bc[1:-1] + (-gpx + _lap_window(uc_bc, dx) / re) * dt, vae[0]
+            nw_mid, uc_bc[1:-1] + (-gpx + _lap_window(uc_bc, dx) * inv_re) * dt, vae[0]
         )
         w_na = jnp.where(
-            nw_mid, wc_bc[1:-1] + (-gpy + _lap_window(wc_bc, dx) / re) * dt, vae[1]
+            nw_mid, wc_bc[1:-1] + (-gpy + _lap_window(wc_bc, dx) * inv_re) * dt, vae[1]
         )
         u_na = _reclamp(u_na, ti, n_t, 2)
         w_na = _reclamp(w_na, ti, n_t, 2)
@@ -1235,7 +1248,7 @@ def _cip_dye_body(
 
     # 2. Diffusion-only non-advection phase on rows [-2, t+2):
     #    dn = dc + (∇²dc/Re)·dt at not-wall (fs/solver.py:378-383).
-    d_na = jnp.where(nw_mid, dc[1:-1] + (_lap_window(dc, dx) / re) * dt, dae)
+    d_na = jnp.where(nw_mid, dc[1:-1] + (_lap_window(dc, dx) * (1.0 / re)) * dt, dae)
     d_na = _reclamp(d_na, ti, n_t, 2)
     # Store each output the moment its value is final (the velocity
     # kernel's store-ordering trick): Mosaic can retire the windowed
@@ -1805,7 +1818,8 @@ def _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref):
     # reference's persistent fields are written at fluid cells only and
     # start at zero — fs/vorticity_confinement.py:27-32).
     u_w, w_w = ve[0], ve[1]
-    curl = 0.5 * (w_w[2:] - w_w[:-2]) / dx - 0.5 * (_sy(u_w[1:-1], 1) - _sy(u_w[1:-1], -1)) / dx
+    half_inv_dx = 0.5 / dx  # strength-reduced (see _lap_window)
+    curl = ((w_w[2:] - w_w[:-2]) - (_sy(u_w[1:-1], 1) - _sy(u_w[1:-1], -1))) * half_inv_dx
     vort = jnp.where(fluid_mid, curl, 0.0)
     vabs = jnp.where(fluid_mid, jnp.abs(curl), 0.0)
     # But clamp-of-computed at the global edges: vabs' halo rows must
@@ -1813,12 +1827,16 @@ def _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref):
     vort = _reclamp(vort, ti, n_t, 1)
     vabs = _reclamp(vabs, ti, n_t, 1)
 
-    gx = 0.5 * (vabs[2:] - vabs[:-2]) / dx
+    gx = (vabs[2:] - vabs[:-2]) * half_inv_dx
     vac = vabs[1:-1]
-    gy = 0.5 * (_sy(vac, 1) - _sy(vac, -1)) / dx
+    gy = (_sy(vac, 1) - _sy(vac, -1)) * half_inv_dx
     norm = jnp.sqrt(gx * gx + gy * gy)
-    nx = gx / norm  # unguarded on purpose: 0/0 → NaN → clamp (PARITY.md §4)
-    ny = gy / norm
+    # One reciprocal instead of two divides; 0/0 → 0·inf → NaN and
+    # x/0 → x·inf → ±inf preserve the unguarded-norm NaN policy
+    # (PARITY.md §4) bit-for-sign.
+    inv_norm = 1.0 / norm
+    nx = gx * inv_norm
+    ny = gy * inv_norm
     vort_c = vort[1:-1]
     fx = ny * vort_c
     fy = -nx * vort_c
@@ -1993,8 +2011,9 @@ def _mac_velocity_core(
     lap_u = _lap_window(uc[halo - 1 : uc.shape[0] - halo + 1], dx)
     lap_w = _lap_window(wc[halo - 1 : wc.shape[0] - halo + 1], dx)
 
-    un = u_cen + dt * (-adv_u - gpx + lap_u / re)
-    wn = w_cen + dt * (-adv_w - gpy + lap_w / re)
+    inv_re = 1.0 / re  # strength-reduced (see _lap_window)
+    un = u_cen + dt * (-adv_u - gpx + lap_u * inv_re)
+    wn = w_cen + dt * (-adv_w - gpy + lap_w * inv_re)
 
     v_out[0] = jnp.where(fluid, un, vac[0])
     v_out[1] = jnp.where(fluid, wn, vac[1])

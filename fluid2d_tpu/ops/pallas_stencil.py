@@ -53,9 +53,11 @@ _HY = 128  # 2-D tiling lane-halo block columns (one lane tile)
 
 # --- transport dtype (bf16 HBM storage, f32 compute) ---------------------------
 #
-# SimConfig.dtype="bfloat16" halves every f32 plane's HBM bytes — the
-# measured byte-rate lever (docs/BENCH.md bf16 twin probe: identical
-# operand geometry at half the bytes runs in 0.50× the time). Kernel
+# SimConfig.dtype="bfloat16" halves every f32 plane's HBM bytes. The
+# no-op twin probe predicted ~2× on the DMA-bound model, but the real
+# kernels run at the SAME device time at half the bytes — they are
+# VPU-bound once DMA halves — so the measured end-to-end value is
+# +4-5% at res=1600 (docs/BENCH.md round-5 ledger). Kernel
 # contract: blocks arrive in the transport dtype; window assembly
 # upcasts to f32 (`_k32`, applied inside _ext/_wext/_ext2d and at direct
 # block reads), ALL window arithmetic is f32, and each output store
@@ -762,24 +764,33 @@ def cip_velocity_ctx(u_w, w_w, dt: float, dx: float) -> dict:
     w, w_xm, w_xp = w_w[1:-1], w_w[:-2], w_w[2:]
     i_s = jnp.where(u < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
     j_s = jnp.where(w < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    # VPU divides cost several passes each and Mosaic performs no
+    # strength reduction, so the per-channel divisions by ±dx³ become
+    # multiplications by a hoisted signed reciprocal: x / (i_s·dx³)
+    # ≡ (x·i_s) / dx³ exactly (i_s = ±1), and /dx³ → ·(1/dx³) differs by
+    # ≤1 ulp (within the ≤1e-5·scale Pallas-vs-jnp test contract; the
+    # jnp path keeps the reference's literal divides). Same fold for the
+    # 0.5/dx gradient scale.
+    inv_dx3 = 1.0 / dx**3
+    half_inv_dx = 0.5 / dx
     return {
         "up_x": jnp.logical_not(u < 0.0),
         "up_y": jnp.logical_not(w < 0.0),
         "i_s": i_s,
         "j_s": j_s,
-        "i_s_denom": i_s * dx**3,
-        "j_s_denom": j_s * dx**3,
+        "i_s_recip": i_s * inv_dx3,
+        "j_s_recip": j_s * inv_dx3,
         "X": -u * dt,
         "Y": -w * dt,
-        "dudx": 0.5 * (u_xp - u_xm) / dx,
-        "dwdx": 0.5 * (w_xp - w_xm) / dx,
-        "dudy": 0.5 * (_sy(u, 1) - _sy(u, -1)) / dx,
-        "dwdy": 0.5 * (_sy(w, 1) - _sy(w, -1)) / dx,
+        "dudx": (u_xp - u_xm) * half_inv_dx,
+        "dwdx": (w_xp - w_xm) * half_inv_dx,
+        "dudy": (_sy(u, 1) - _sy(u, -1)) * half_inv_dx,
+        "dwdy": (_sy(w, 1) - _sy(w, -1)) * half_inv_dx,
     }
 
 
 _CTX_KEYS = (
-    "i_s", "j_s", "i_s_denom", "j_s_denom", "X", "Y", "dudx", "dwdx", "dudy", "dwdy",
+    "i_s", "j_s", "i_s_recip", "j_s_recip", "X", "Y", "dudx", "dwdx", "dudy", "dwdy",
 )
 
 
@@ -825,13 +836,19 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
     sel_x = lambda m, p: jnp.where(up_x, m, p)  # noqa: E731
     sel_y = lambda m, p: jnp.where(up_y, m, p)  # noqa: E731
 
+    # Lane shifts are full-window VPU passes; shifting the (rows+2, Y)
+    # WINDOW once per direction and row-slicing the results replaces the
+    # six per-array shifts the f/f_xm/f_xp terms would need (row slicing
+    # is a static sublane slice and commutes bitwise with `_sy`).
+    f_wm, f_wp = _sy(f_w, -1), _sy(f_w, 1)
+
     f_im = sel_x(f_xm, f_xp)
-    f_jm = sel_y(_sy(f, -1), _sy(f, 1))
+    f_jm = sel_y(f_wm[1:-1], f_wp[1:-1])
     # Diagonal: both shifts BEFORE the selects, so both upwind masks are
     # evaluated at the center cell (same pitfall as ops/cip.py::_sel_xy).
     f_imjm = sel_x(
-        sel_y(_sy(f_xm, -1), _sy(f_xm, 1)),
-        sel_y(_sy(f_xp, -1), _sy(f_xp, 1)),
+        sel_y(f_wm[:-2], f_wp[:-2]),
+        sel_y(f_wm[2:], f_wp[2:]),
     )
     fx_im = sel_x(fx_xm, fx_xp)
     fx_jm = sel_y(_sy(fx, -1), _sy(fx, 1))
@@ -842,8 +859,8 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
     tmp2 = f_im - f
     tmp3 = f_jm - f
 
-    i_s_denom = ctx["i_s_denom"]
-    j_s_denom = ctx["j_s_denom"]
+    i_s_recip = ctx["i_s_recip"]
+    j_s_recip = ctx["j_s_recip"]
 
     # Mosaic has no CSE/strength-reduction pass over the traced body, so
     # IEEE-exact identities are folded by hand: x − 2·(−t) ≡ x + 2·t,
@@ -853,14 +870,20 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
     # when fy == fy_im (−0 → +0). gg only ever enters sums/products, so
     # no observable difference — but it is the one fold here that is not
     # bit-identical in all cases (keep in mind for bit-exactness audits).
+    # The seven per-channel divides are strength-reduced to multiplies
+    # by hoisted reciprocals (see cip_velocity_ctx) — ≤1 ulp from the
+    # reference's literal divides, several VPU passes cheaper each.
+    inv_dx2 = jnp.float32(1.0 / dx**2)
+    dx2 = dx * dx
+    inv_dx = 1.0 / dx
     ntmp1 = -tmp1
-    a = (i_s * (fx_im + fx) * dx + 2.0 * tmp2) / i_s_denom
-    bb = (j_s * (fy_jm + fy) * dx + 2.0 * tmp3) / j_s_denom
-    cc = (ntmp1 - i_s * (fx_jm - fx) * dx) / j_s_denom
-    dd = (ntmp1 - j_s * (fy_im - fy) * dx) / i_s_denom
-    ee = (3.0 * tmp2 + i_s * (fx_im + 2.0 * fx) * dx) / dx**2
-    ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) / dx**2
-    gg = ((fy - fy_im) + cc * dx**2) / (i_s * dx)
+    a = (i_s * (fx_im + fx) * dx + 2.0 * tmp2) * i_s_recip
+    bb = (j_s * (fy_jm + fy) * dx + 2.0 * tmp3) * j_s_recip
+    cc = (ntmp1 - i_s * (fx_jm - fx) * dx) * j_s_recip
+    dd = (ntmp1 - j_s * (fy_im - fy) * dx) * i_s_recip
+    ee = (3.0 * tmp2 + i_s * (fx_im + 2.0 * fx) * dx) * inv_dx2
+    ff = (3.0 * tmp3 + j_s * (fy_jm + 2.0 * fy) * dx) * inv_dx2
+    gg = ((fy - fy_im) + cc * dx2) * (i_s * inv_dx)
 
     X = ctx["X"]
     Y = ctx["Y"]
@@ -869,8 +892,10 @@ def cip_advect_window_expr(f_w, fx_w, fy_w, u_w, w_w, dt: float, dx: float,
     Fx = (3.0 * a * X + 2.0 * cc * Y + 2.0 * ee) * X + (dd * Y + gg) * Y + fx
     Fy = (3.0 * bb * Y + 2.0 * dd * X + 2.0 * ff) * Y + (cc * X + gg) * X + fy
 
-    fxn = Fx - dt * (Fx * ctx["dudx"] + Fy * ctx["dwdx"]) / 2.0
-    fyn = Fy - dt * (Fx * ctx["dudy"] + Fy * ctx["dwdy"]) / 2.0
+    # /2.0 → ·0.5 is IEEE-exact (power of two) and a multiply is the
+    # cheaper VPU op.
+    fxn = Fx - dt * (Fx * ctx["dudx"] + Fy * ctx["dwdx"]) * 0.5
+    fyn = Fy - dt * (Fx * ctx["dudy"] + Fy * ctx["dwdy"]) * 0.5
     return fn, fxn, fyn
 
 
@@ -993,10 +1018,11 @@ def _pressure_bc_expr(p, code):
     out = jnp.where(code == 2, px_p, out)
     out = jnp.where(code == 3, py_m, out)
     out = jnp.where(code == 4, py_p, out)
-    out = jnp.where(code == 5, (px_m + py_p) / 2.0, out)
-    out = jnp.where(code == 6, (px_p + py_p) / 2.0, out)
-    out = jnp.where(code == 7, (px_m + py_m) / 2.0, out)
-    out = jnp.where(code == 8, (px_p + py_m) / 2.0, out)
+    # /2.0 → ·0.5 is IEEE-exact; multiplies are the cheaper VPU op.
+    out = jnp.where(code == 5, (px_m + py_p) * 0.5, out)
+    out = jnp.where(code == 6, (px_p + py_p) * 0.5, out)
+    out = jnp.where(code == 7, (px_m + py_m) * 0.5, out)
+    out = jnp.where(code == 8, (px_p + py_m) * 0.5, out)
     out = jnp.where(code == 9, px_p, out)
     out = jnp.where(code == 10, jnp.float32(0.0), out)
     return out
@@ -1015,10 +1041,13 @@ def _predict_p_expr(p, u, w, dt: float, dx: float):
     wc = w[1:-1, :]
     sub_y_u = _sy(uc, 1) - _sy(uc, -1)
     sub_y_w = _sy(wc, 1) - _sy(wc, -1)
+    # /8.0 → ·0.125 is IEEE-exact; the trailing dx/(8dt) scale folds to
+    # one multiply (≤1 ulp from the literal divide — see _lap_window's
+    # strength-reduction note in pallas_phases.py).
     return (
         0.25 * (pxp + pxm + _sy(pc, 1) + _sy(pc, -1))
-        + (sub_x_u**2 + sub_y_w**2 + (sub_y_u * sub_x_w)) / 8.0
-        - dx * (sub_x_u + sub_y_w) / (8 * dt)
+        + (sub_x_u**2 + sub_y_w**2 + (sub_y_u * sub_x_w)) * 0.125
+        - (sub_x_u + sub_y_w) * (dx / (8.0 * dt))
     )
 
 

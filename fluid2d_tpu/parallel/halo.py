@@ -218,14 +218,18 @@ def make_sharded_run_halo(cfg: SimConfig, mesh: Mesh, h: int | None = None):
 
     @functools.partial(jax.jit, static_argnums=2)
     def run(state: SimState, scene: Scene, n: int) -> SimState:
+        # Each axis's divisibility/ghost-depth constraint applies only
+        # when that axis is actually decomposed (n>1): an undecomposed
+        # axis exchanges nothing, so e.g. a 1-D x-mesh on a grid with
+        # Y < 2h still runs on the halo path (ADVICE r4).
         x_rows, y_cols = state.p.shape[-2:]
-        if x_rows % n_x != 0 or x_rows // n_x < 2 * h:
+        if n_x > 1 and (x_rows % n_x != 0 or x_rows // n_x < 2 * h):
             msg = (
                 f"grid X={x_rows} must split into ≥{2 * h}-row slabs "
                 f"across {n_x} devices (ghost width {h})"
             )
             raise ValueError(msg)
-        if y_cols % n_y != 0 or y_cols // n_y < 2 * h:
+        if n_y > 1 and (y_cols % n_y != 0 or y_cols // n_y < 2 * h):
             msg = (
                 f"grid Y={y_cols} must split into ≥{2 * h}-column slabs "
                 f"across {n_y} devices (ghost width {h})"

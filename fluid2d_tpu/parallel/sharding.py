@@ -112,9 +112,11 @@ def shard_simulator(sim, n_devices: int | None = None, path: str = "auto",
 
         h = ghost_width(sim.cfg)
         x_rows, y_cols = sim.state.p.shape[-2:]
+        # Mirror halo.py's per-axis rule: an undecomposed axis (n == 1)
+        # exchanges nothing, so it imposes no slab constraint (ADVICE r4).
         fits = (
-            x_rows % n_x == 0 and x_rows // n_x >= 2 * h
-            and y_cols % n_y == 0 and y_cols // n_y >= 2 * h
+            (n_x == 1 or (x_rows % n_x == 0 and x_rows // n_x >= 2 * h))
+            and (n_y == 1 or (y_cols % n_y == 0 and y_cols // n_y >= 2 * h))
         )
         if fits:
             sim._run = make_sharded_run_halo(sim.cfg, mesh)
