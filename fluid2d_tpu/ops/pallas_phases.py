@@ -1830,11 +1830,10 @@ def _confinement_core(ti, n_t, dt, weight, dx, ve, fle, va_ref, vn_ref):
     gx = (vabs[2:] - vabs[:-2]) * half_inv_dx
     vac = vabs[1:-1]
     gy = (_sy(vac, 1) - _sy(vac, -1)) * half_inv_dx
-    norm = jnp.sqrt(gx * gx + gy * gy)
-    # One reciprocal instead of two divides; 0/0 → 0·inf → NaN and
-    # x/0 → x·inf → ±inf preserve the unguarded-norm NaN policy
-    # (PARITY.md §4) bit-for-sign.
-    inv_norm = 1.0 / norm
+    # rsqrt replaces the sqrt + two divides with one op + two multiplies;
+    # rsqrt(0) → inf so 0·inf → NaN and x·inf → ±inf preserve the
+    # unguarded-norm NaN policy (PARITY.md §4) bit-for-sign.
+    inv_norm = jax.lax.rsqrt(gx * gx + gy * gy)
     nx = gx * inv_norm
     ny = gy * inv_norm
     vort_c = vort[1:-1]

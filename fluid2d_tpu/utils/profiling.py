@@ -25,6 +25,8 @@ __all__ = [
     "sync",
     "time_steps",
     "measure_hbm_bandwidth",
+    "measure_vpu_throughput",
+    "collect_pallas_elops",
     "step_min_bytes",
     "roofline_report",
     "trace",
@@ -592,6 +594,173 @@ def measure_mix_ceiling(name: str, x_rows: int, y_cols: int, t: int,
     return _time_noop_twin(call, args, nbytes, iters)
 
 
+# --- VPU work model (round-5) -------------------------------------------------
+#
+# bf16 transport exposed the phase kernels as VPU-bound (docs/BENCH.md
+# round-4/5 ledger): once the bytes halve, device time doesn't move, so a
+# DMA-only roofline reports nonsense-high percentages under bf16. The
+# honest per-kernel floor is max(DMA floor, VPU floor). The VPU side is
+# modeled as (counted element-ops per step) / (measured element
+# throughput): element-ops are counted from each pallas_call's traced
+# kernel jaxpr (an op-weight walk — the same DAG Mosaic lowers, so no
+# hand-kept registry can drift), and the throughput denominator is
+# measured on-device with an ILP-friendly multi-chain fma kernel
+# (a single dependent chain measures latency, not throughput).
+
+# Op weights per output element. Transcendentals/division cost several
+# VPU passes; ref get/swap are VMEM accesses fused into their consumers;
+# static slices/reshapes are layout no-ops (lane-shift cost appears as
+# the concatenate that consumes them, which IS counted).
+_VPU_FREE = frozenset({
+    "get", "swap", "slice", "squeeze", "reshape", "transpose", "copy",
+    "bitcast_convert_type", "stop_gradient", "dynamic_slice",
+    "dynamic_update_slice", "program_id", "num_programs",
+})
+_VPU_HEAVY = {"div": 3.0, "sqrt": 3.0, "rsqrt": 3.0, "exp": 3.0,
+              "log": 3.0, "tanh": 3.0, "logistic": 3.0, "pow": 3.0,
+              "integer_pow": 2.0, "rem": 3.0, "sign": 2.0}
+_VPU_REDUCE = frozenset({
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
+    "reduce_prod", "argmax", "argmin",
+})
+
+
+def _sub_jaxprs(params):
+    from jax._src import core as jcore
+
+    for v in params.values():
+        vals = v if isinstance(v, (tuple, list)) else (v,)
+        for item in vals:
+            if isinstance(item, jcore.ClosedJaxpr):
+                yield item.jaxpr
+            elif isinstance(item, jcore.Jaxpr):
+                yield item
+
+
+def _jaxpr_vpu_elops(jaxpr) -> float:
+    """Weighted element-op count of ONE execution of `jaxpr` (one grid
+    program for a kernel jaxpr). cond branches count as their max; scan
+    bodies multiply by the trip count."""
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in _VPU_FREE:
+            continue
+        if name == "cond":
+            total += max((_jaxpr_vpu_elops(b.jaxpr)
+                          for b in eqn.params["branches"]), default=0.0)
+            continue
+        if name == "scan":
+            total += _jaxpr_vpu_elops(eqn.params["jaxpr"].jaxpr) * eqn.params["length"]
+            continue
+        if name == "while":
+            total += (_jaxpr_vpu_elops(eqn.params["body_jaxpr"].jaxpr)
+                      + _jaxpr_vpu_elops(eqn.params["cond_jaxpr"].jaxpr))
+            continue
+        subs = list(_sub_jaxprs(eqn.params))
+        if subs:  # pjit / closed_call / custom_* wrappers
+            total += sum(_jaxpr_vpu_elops(s) for s in subs)
+            continue
+        if name in _VPU_REDUCE:
+            total += sum(float(np.prod(v.aval.shape))
+                         for v in eqn.invars if hasattr(v.aval, "shape"))
+            continue
+        out = eqn.outvars[0].aval
+        if not hasattr(out, "shape"):
+            continue
+        elems = float(np.prod(out.shape)) if out.shape else 1.0
+        total += elems * _VPU_HEAVY.get(name, 1.0)
+    return total
+
+
+def collect_pallas_elops(jaxpr) -> list[float]:
+    """Total weighted element-ops of every ``pallas_call`` in `jaxpr`
+    (recursively), in trace order — one entry per dispatch, aligned with
+    the TRAFFIC_LOG ledger that the phase entry points append to at the
+    same points during tracing."""
+    out: list[float] = []
+
+    def walk(j):
+        for eqn in j.eqns:
+            if eqn.primitive.name == "pallas_call":
+                grid = getattr(eqn.params.get("grid_mapping"), "grid", ()) or ()
+                n_programs = float(np.prod(grid)) if grid else 1.0
+                kj = eqn.params["jaxpr"]
+                kj = kj.jaxpr if hasattr(kj, "jaxpr") else kj
+                out.append(_jaxpr_vpu_elops(kj) * n_programs)
+            else:
+                for s in _sub_jaxprs(eqn.params):
+                    walk(s)
+
+    walk(jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr)
+    return out
+
+
+_VPU_RATE_CACHE: dict[str, float] = {}
+
+
+def measure_vpu_throughput(dtype="float32", passes: int = 192,
+                           iters: int = 200) -> float | None:
+    """Measured VPU element throughput (weighted el-ops/s) on the current
+    device: a Pallas kernel running `passes` fma element-passes per
+    element over a VMEM-resident block, split across 8 INDEPENDENT
+    accumulator chains so the measurement is throughput (ILP-fed), not
+    the latency of one dependent chain (scripts/vpu_dtype_probe.py
+    measures the chain figure: ~687 Gel/s f32 on the dev chip; this
+    multi-chain kernel measures the rate a scheduled DAG can approach).
+    None off-TPU."""
+    if jax.default_backend() != "tpu":
+        return None
+    key = str(jnp.dtype(dtype))
+    if key in _VPU_RATE_CACHE:
+        return _VPU_RATE_CACHE[key]
+    from jax.experimental import pallas as pl
+
+    dt = jnp.dtype(dtype)
+    rows, cols, t = 2048, 1024, 256
+    nchain = 8
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[...]
+        c1 = jnp.asarray(1.000001, dt)
+        c2 = jnp.asarray(1e-6, dt)
+        accs = [x * jnp.asarray(1.0 + 1e-7 * k, dt) for k in range(nchain)]
+        for _ in range(passes // nchain):
+            accs = [a * c1 + c2 for a in accs]
+        acc = accs[0]
+        for a in accs[1:]:
+            acc = acc + a
+        o_ref[...] = acc
+
+    call = pl.pallas_call(
+        kernel, grid=(rows // t,),
+        in_specs=[pl.BlockSpec((t, cols), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((t, cols), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), dt),
+    )
+
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            return call(c), None
+
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    x = jnp.full((rows, cols), 0.5, dt)
+    y = loop(x)
+    float(np.asarray(y[0, 0], np.float32))  # fence (see sync)
+    t0 = time.perf_counter()
+    y = loop(x)
+    float(np.asarray(y[0, 0], np.float32))
+    sec = time.perf_counter() - t0
+    # passes fma ops + (nchain-1) adds + nchain init muls per element
+    elops = rows * cols * (passes + 2 * nchain - 1) * iters
+    rate = elops / sec
+    _VPU_RATE_CACHE[key] = rate
+    return rate
+
+
 def step_min_bytes(cfg: SimConfig, x_rows: int, y_cols: int) -> int:
     """Lower bound on HBM bytes one step must move: every carried array
     written once + each phase's inputs read once."""
@@ -643,14 +812,24 @@ def step_blockspec_bytes(cfg: SimConfig, res: int, bc: int = 2) -> dict[str, int
     ps.TRAFFIC_LOG = ledger
     ps.TILE_LOG = tiles
     try:
-        jax.make_jaxpr(lambda s: step(s, scene))(state)
+        jaxpr = jax.make_jaxpr(lambda s: step(s, scene))(state)
     finally:
         ps.TRAFFIC_LOG = None
         ps.TILE_LOG = None
     per_kernel: dict[str, int] = {}
     for name, nbytes in ledger:
         per_kernel[name] = per_kernel.get(name, 0) + nbytes
+    # Per-kernel VPU element-ops, counted from the SAME trace: the
+    # ledger appends one entry per pallas dispatch right before its
+    # pallas_call is traced, so the jaxpr's pallas_call eqns align with
+    # the ledger positionally.
+    elops_per_call = collect_pallas_elops(jaxpr)
+    per_kernel_elops: dict[str, float] = {}
+    if len(elops_per_call) == len(ledger):
+        for (name, _), el in zip(ledger, elops_per_call):
+            per_kernel_elops[name] = per_kernel_elops.get(name, 0.0) + el
     step_blockspec_bytes.last_tiles = tiles  # dispatched tile_x per kernel
+    step_blockspec_bytes.last_elops = per_kernel_elops
     return per_kernel
 
 
@@ -689,6 +868,8 @@ def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100,
     min_bytes = step_min_bytes(cfg, 2 * res, res)
     per_kernel = step_blockspec_bytes(cfg, res)
     tiles = getattr(step_blockspec_bytes, "last_tiles", {})
+    elops = getattr(step_blockspec_bytes, "last_elops", {})
+    vpu_rate = measure_vpu_throughput()  # f32: the in-kernel compute dtype
     spec_bytes = sum(per_kernel.values()) or min_bytes
     report = {}
     if jax.default_backend() != "tpu":
@@ -722,16 +903,34 @@ def roofline_report(res: int = 1600, scheme: str = "cip", steps: int = 100,
             # registered mix uses the final-iteration (limited) form.
             ceiling = measure_mix_ceiling(name, 2 * res, res, t,
                                           dtype=jnp.dtype(cfg.dtype))
+        dma_floor = None
         if ceiling is not None:
             ceil_bps, _ = ceiling
             row["ceiling_GBps"] = round(ceil_bps / 1e9, 1)
-            row["floor_ms"] = round(nbytes / ceil_bps * 1e3, 3)
-            floor_ms += nbytes / ceil_bps * 1e3
+            dma_floor = nbytes / ceil_bps * 1e3
+            row["dma_floor_ms"] = round(dma_floor, 3)
         else:
             row["ceiling_GBps"] = None  # no registered twin for this variant
+        # VPU floor: counted element-ops / measured multi-chain rate
+        # (round-5 — without this term a bf16 roofline reports >100%:
+        # the twins halve with the bytes while the real kernels don't).
+        vpu_floor = None
+        if vpu_rate is not None and name in elops:
+            row["vpu_Gelops_per_step"] = round(elops[name] / 1e9, 3)
+            vpu_floor = elops[name] / vpu_rate * 1e3
+            row["vpu_floor_ms"] = round(vpu_floor, 3)
+        if dma_floor is not None or vpu_floor is not None:
+            floor = max(f for f in (dma_floor, vpu_floor) if f is not None)
+            row["floor_ms"] = round(floor, 3)
+            if dma_floor is not None and vpu_floor is not None:
+                row["bound"] = "vpu" if vpu_floor > dma_floor else "dma"
+            floor_ms += floor
+        else:
             floor_complete = False
         kernels[name] = row
     report["kernels"] = kernels
+    if vpu_rate is not None:
+        report["vpu_rate_Gelops"] = round(vpu_rate / 1e9, 1)
     if kernels and floor_complete:
         report["geometry_floor_ms_per_step"] = round(floor_ms, 3)
         report["pct_of_geometry_roofline"] = round(

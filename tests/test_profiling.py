@@ -119,6 +119,75 @@ def _assert_registry(scheme, solver, res, dtype="float32"):
     return slid
 
 
+def test_vpu_elops_counting():
+    """collect_pallas_elops counts weighted element-ops per pallas_call
+    from the traced kernel jaxpr: a mul+add kernel on (8,128) blocks over
+    a 4-program grid is exactly 2 ops × 8·128 × 4."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def k(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0 + 1.0
+
+    def f(x):
+        return pl.pallas_call(
+            k, grid=(4,),
+            in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32),
+        )(x)
+
+    jaxpr = jax.make_jaxpr(f)(jnp.ones((32, 128)))
+    counts = profiling.collect_pallas_elops(jaxpr)
+    assert counts == [2 * 8 * 128 * 4]
+
+
+def test_vpu_elops_weights_divides_heavier():
+    """A divide counts more than a multiply (the strength-reduction
+    ledger row rests on this asymmetry being modeled)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def mk(op):
+        def k(x_ref, o_ref):
+            o_ref[...] = op(x_ref[...])
+
+        def f(x):
+            return pl.pallas_call(
+                k,
+                in_specs=[pl.BlockSpec((8, 128), lambda: (0, 0))],
+                out_specs=pl.BlockSpec((8, 128), lambda: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )(x)
+
+        jaxpr = jax.make_jaxpr(f)(jnp.ones((8, 128)))
+        return profiling.collect_pallas_elops(jaxpr)[0]
+
+    assert mk(lambda x: x / 3.0) > mk(lambda x: x * 3.0)
+
+
+def test_step_elops_ledger_alignment():
+    """step_blockspec_bytes stashes a per-kernel VPU element-op count
+    aligned with the byte ledger: same kernel names, positive counts, and
+    the CIP dye kernel (3 channels of the ~100-pass advect DAG) must
+    out-weigh confinement."""
+    cfg = SimConfig.create(resolution=64, scheme="cip", vor_eps=5.0,
+                           enable_dye=True, kernels="pallas_interpret")
+    per_kernel = profiling.step_blockspec_bytes(cfg, 64)
+    elops = profiling.step_blockspec_bytes.last_elops
+    assert set(elops) == set(per_kernel)
+    assert all(v > 0 for v in elops.values())
+    assert elops["cip_dye"] > elops["confinement"]
+
+
+def test_measure_vpu_throughput_none_off_tpu():
+    """The VPU throughput probe declines to fabricate a rate off-TPU
+    (roofline rows then omit the VPU floor instead of lying)."""
+    assert profiling.measure_vpu_throughput() is None
+
+
 def test_measure_hbm_bandwidth_cpu_fallback():
     """On non-TPU backends the Pallas copy kernel can't compile; the XLA
     fallback must return a positive bandwidth instead of crashing
