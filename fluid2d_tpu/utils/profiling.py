@@ -699,15 +699,26 @@ def collect_pallas_elops(jaxpr) -> list[float]:
 _VPU_RATE_CACHE: dict[str, float] = {}
 
 
-def measure_vpu_throughput(dtype="float32", passes: int = 192,
-                           iters: int = 200) -> float | None:
-    """Measured VPU element throughput (weighted el-ops/s) on the current
-    device: a Pallas kernel running `passes` fma element-passes per
-    element over a VMEM-resident block, split across 8 INDEPENDENT
-    accumulator chains so the measurement is throughput (ILP-fed), not
-    the latency of one dependent chain (scripts/vpu_dtype_probe.py
-    measures the chain figure: ~687 Gel/s f32 on the dev chip; this
-    multi-chain kernel measures the rate a scheduled DAG can approach).
+def measure_vpu_throughput(dtype="float32", passes: int = 8192,
+                           iters: int = 20) -> float | None:
+    """Best-achievable VPU element throughput (weighted el-ops/s) on the
+    current device — the OPTIMISTIC denominator a floor needs.
+
+    A Pallas kernel running `passes` fma element-passes per element on
+    (8, 1024) blocks, split across 8 independent accumulator chains. At
+    this fused depth Mosaic keeps the chunk in vregs across the chain,
+    so the measurement is ALU-bound, not VMEM-fed: the dev chip reads
+    ~3.8-4.4 T weighted-el-ops/s at depth 4096-8192 (still rising
+    slowly — a mild UNDERestimate of peak, which makes per-kernel
+    percentages mildly conservative-high; acceptable because the real
+    phase kernels measure well below it at ~2.1 T/s). Shallow or
+    block-sized-accumulator variants measure 0.4-1.7 T/s — those are
+    VMEM-bandwidth figures, and a floor built on one lands ABOVE real
+    kernel times (the first probe's 622 G/s put the step at 329% of its
+    own "floor"; scripts/vpu_rate_sweep.py records the sweep).
+
+    One fma counts as 2 weighted el-ops — the same accounting as
+    :func:`_jaxpr_vpu_elops`, which sees mul and add as separate eqns.
     None off-TPU."""
     if jax.default_backend() != "tpu":
         return None
@@ -717,7 +728,7 @@ def measure_vpu_throughput(dtype="float32", passes: int = 192,
     from jax.experimental import pallas as pl
 
     dt = jnp.dtype(dtype)
-    rows, cols, t = 2048, 1024, 256
+    rows, cols, t = 2048, 1024, 8
     nchain = 8
 
     def kernel(x_ref, o_ref):
@@ -754,8 +765,9 @@ def measure_vpu_throughput(dtype="float32", passes: int = 192,
     y = loop(x)
     float(np.asarray(y[0, 0], np.float32))
     sec = time.perf_counter() - t0
-    # passes fma ops + (nchain-1) adds + nchain init muls per element
-    elops = rows * cols * (passes + 2 * nchain - 1) * iters
+    # Per element: passes fmas at weight 2, + nchain init muls and
+    # (nchain−1) merge adds at weight 1.
+    elops = rows * cols * (2 * passes + 2 * nchain - 1) * iters
     rate = elops / sec
     _VPU_RATE_CACHE[key] = rate
     return rate
