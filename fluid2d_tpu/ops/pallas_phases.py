@@ -506,13 +506,13 @@ def cip_velocity_phase_pallas(
     2-D tiling; True/False force/skip the channel grid.
     """
     x_rows, y_cols = p.shape
-    # Manual-DMA fetch variants (sliding / DMA-window) are f32-only for
-    # now (see the transport-dtype note in pallas_stencil.py); bf16
-    # transport routes through the BlockSpec triple / 9-block paths,
-    # whose geometry the bf16 twin probe validated at 0.5× f32 time.
+    # Manual-DMA fetch variants (sliding / DMA-window) need every window
+    # plane in ONE float dtype — f32 or bf16 (the transport-dtype note
+    # in pallas_stencil.py; bf16's sub-tile row offsets validated on
+    # chip by scripts/bf16_dma_probe.py).
     dma_able = _dma_ok(v, p, v_alt, scene.bc_const)
     if (dma_slide is True or dma_windows is True) and not dma_able:
-        msg = "manual-DMA velocity variants are f32-only (bf16 transport)"
+        msg = "manual-DMA velocity variants need a uniform f32/bf16 dtype"
         raise PallasInfeasibleError(msg)
 
     def cost_rows(t: int) -> float:
@@ -616,7 +616,7 @@ def cip_velocity_phase_pallas(
             out_specs=[_center_spec(t, y_cols, 2)] * 6,
             out_shape=[jax.ShapeDtypeStruct(v.shape, v.dtype)] * 6,
             scratch_shapes=[
-                pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, y_cols), jnp.float32),
+                pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, y_cols), v.dtype),
                 pltpu.SemaphoreType.DMA((2, len(_VEL_DMA_PLANES))),
                 pltpu.SemaphoreType.DMA(2),
             ],
@@ -823,6 +823,16 @@ _VEL_DMA_PLANES = ((0, 2), (2, None), (3, 2), (5, 2), (7, 2), (9, 2), (11, 2), (
 _VEL_DMA_NPLANES = 15
 
 
+def _lane_rep(col, n: int, dtype):
+    """Replicate a single column across `n` lanes, bf16-safe: Mosaic's
+    minor-dim (lane) broadcast is 32-bit-only ("Insertion of minor dim
+    that is not a no-op only supported for 32-bit types"), so bf16
+    columns round-trip through f32 — bf16→f32→bf16 is lossless."""
+    if dtype == jnp.bfloat16:
+        return jnp.repeat(col.astype(jnp.float32), n, axis=-1).astype(dtype)
+    return jnp.repeat(col, n, axis=-1)
+
+
 def _dma_window_fixes(win_ref, slot, nplanes, ti, tj, n_tx, n_ty, rows, cols):
     """Re-align a clamped-offset DMA window at global-edge tiles and
     replicate the true edge row/column into the halo (raw clamp-to-edge,
@@ -852,8 +862,8 @@ def _dma_window_fixes(win_ref, slot, nplanes, ti, tj, n_tx, n_ty, rows, cols):
         for k in range(nplanes):
             body = win_ref[slot, k, :, : cols - _HY]
             win_ref[slot, k, :, _HY:] = body
-            win_ref[slot, k, :, :_HY] = jnp.repeat(
-                win_ref[slot, k, :, _HY : _HY + 1], _HY, axis=1
+            win_ref[slot, k, :, :_HY] = _lane_rep(
+                win_ref[slot, k, :, _HY : _HY + 1], _HY, win_ref.dtype
             )
 
     @pl.when(tj == n_ty - 1)
@@ -861,8 +871,8 @@ def _dma_window_fixes(win_ref, slot, nplanes, ti, tj, n_tx, n_ty, rows, cols):
         for k in range(nplanes):
             body = win_ref[slot, k, :, _HY:]
             win_ref[slot, k, :, : cols - _HY] = body
-            win_ref[slot, k, :, cols - _HY :] = jnp.repeat(
-                win_ref[slot, k, :, cols - _HY - 1 : cols - _HY], _HY, axis=1
+            win_ref[slot, k, :, cols - _HY :] = _lane_rep(
+                win_ref[slot, k, :, cols - _HY - 1 : cols - _HY], _HY, win_ref.dtype
             )
 
 
@@ -1008,7 +1018,7 @@ def _cip_velocity_phase_2d_dma(
         out_specs=[_center2d_spec(t, ty, 2)] * 6,
         out_shape=[out_sd] * 6,
         scratch_shapes=[
-            pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, cols), jnp.float32),
+            pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, cols), v.dtype),
             pltpu.SemaphoreType.DMA((2, len(_VEL_DMA_PLANES))),
         ],
         interpret=interpret,
@@ -1086,8 +1096,8 @@ def _cip_velocity_kernel_2d_slide(
             for k in range(_VEL_DMA_NPLANES):
                 body = win_ref[s, k, r0:, : cols - _HY]
                 win_ref[s, k, r0:, _HY:] = body
-                win_ref[s, k, r0:, :_HY] = jnp.repeat(
-                    win_ref[s, k, r0:, _HY : _HY + 1], _HY, axis=1
+                win_ref[s, k, r0:, :_HY] = _lane_rep(
+                    win_ref[s, k, r0:, _HY : _HY + 1], _HY, win_ref.dtype
                 )
 
         @pl.when(tj == n_ty - 1)
@@ -1095,8 +1105,8 @@ def _cip_velocity_kernel_2d_slide(
             for k in range(_VEL_DMA_NPLANES):
                 body = win_ref[s, k, r0:, _HY:]
                 win_ref[s, k, r0:, : cols - _HY] = body
-                win_ref[s, k, r0:, cols - _HY :] = jnp.repeat(
-                    win_ref[s, k, r0:, cols - _HY - 1 : cols - _HY], _HY, axis=1
+                win_ref[s, k, r0:, cols - _HY :] = _lane_rep(
+                    win_ref[s, k, r0:, cols - _HY - 1 : cols - _HY], _HY, win_ref.dtype
                 )
 
     _slide_fetch(win_ref, full_dmas, tail_dmas, ti, n_tx, t, slot,
@@ -1206,7 +1216,7 @@ def _cip_velocity_phase_2d_slide(
         out_specs=[_center2d_spec(t, ty, 2, transposed=True)] * 6,
         out_shape=[out_sd] * 6,
         scratch_shapes=[
-            pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, cols), jnp.float32),
+            pltpu.VMEM((2, _VEL_DMA_NPLANES, rows, cols), v.dtype),
             pltpu.SemaphoreType.DMA((2, len(_VEL_DMA_PLANES))),
             pltpu.SemaphoreType.DMA(2),
         ],
@@ -1285,7 +1295,7 @@ def _cip_dye_kernel(
     vel_c, vel_p8, vel_n8, bcd_c, bcd_p8, bcd_n8,
     inflow_c, inflow_p8, inflow_n8, nw_c, nw_p8, nw_n8, fluid_ref,
     d_out, dx_out, dy_out, dna_out, dxna_out, dyna_out,
-    ctx_ref,
+    ctx_ref, mask_ref=None,
 ):
     ti = pl.program_id(0)
     c = pl.program_id(1)
@@ -1314,8 +1324,27 @@ def _cip_dye_kernel(
         a, b, d = triples[key]
         return _ext(a[0], b[0], d[0], ti, n_t, hx)
 
-    inflowe = _ext(inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
-    nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    if mask_ref is None:
+        inflowe = _ext(
+            inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3).astype(jnp.int32)
+        nwe = _ext(nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+    else:
+        # The int mask windows are channel-independent like the velocity
+        # ctx: assemble + widen once per row tile (at c == 0) into i32
+        # scratch; channels 1.. re-read (the kernels are VPU-bound, and
+        # each i8 _ext assembly + i32 widen costs full-window passes).
+        t = inflow_c.shape[-2]
+
+        @pl.when(c == 0)
+        def _():
+            mask_ref[0] = _ext(
+                inflow_c[:], inflow_p8[:], inflow_n8[:], ti, n_t, 3
+            ).astype(jnp.int32)
+            mask_ref[1, : t + 4] = _ext(
+                nw_c[:], nw_p8[:], nw_n8[:], ti, n_t, 2).astype(jnp.int32)
+
+        inflowe = mask_ref[0]
+        nwe = mask_ref[1, : t + 4]
     fluid = fluid_ref[:] != 0
 
     _cip_dye_body(ti, n_t, re, dt, dx, win, vctx, inflowe, nwe, fluid,
@@ -1397,7 +1426,7 @@ class _row_view:
         return self.ref.dtype
 
     def __setitem__(self, key, val):
-        self.ref[key, self.r0 : self.r0 + self.n] = val
+        self.ref[key, self.r0 : self.r0 + self.n] = val.astype(self.ref.dtype)
 
 
 def _cip_dye_kernel_slide(
@@ -1543,7 +1572,7 @@ def _cip_dye_phase_slide(
         out_specs=[_center_spec_cgrid2(T, y_cols, "c")] * 6,
         out_shape=[out_sd] * 6,
         scratch_shapes=[
-            pltpu.VMEM((2, _DYE_SLIDE_NPLANES, rows, y_cols), jnp.float32),
+            pltpu.VMEM((2, _DYE_SLIDE_NPLANES, rows, y_cols), dye.dtype),
             pltpu.SemaphoreType.DMA((2, 8)),
             pltpu.SemaphoreType.DMA(2),
         ],
@@ -1592,7 +1621,7 @@ def cip_dye_phase_pallas(
     re: float, dt: float, dx: float,
     *, tile_x: int | None = None, window_inputs: bool | None = None,
     sliding: bool | None = None, subtiles: int | None = None,
-    interpret: bool = False,
+    mask_scratch: bool = False, interpret: bool = False,
 ):
     """Whole CIP dye phase (BC + diffusion + grads + advection + clamp).
 
@@ -1710,13 +1739,17 @@ def cip_dye_phase_pallas(
         kernel = functools.partial(_cip_dye_kernel, n_t, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
 
+    scratch = [pltpu.VMEM((10, t, y_cols), jnp.float32)]
+    if mask_scratch and not window_inputs:
+        scratch.append(pltpu.VMEM((2, t + 6, y_cols), jnp.int32))
+
     return pl.pallas_call(
         kernel,
         grid=(n_t, chans),
         in_specs=specs,
         out_specs=[_center_spec_cgrid(t, y_cols, "c")] * 6,
         out_shape=[out_sd] * 6,
-        scratch_shapes=[pltpu.VMEM((10, t, y_cols), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
@@ -1886,7 +1919,7 @@ def confinement_pallas(
         kernel = functools.partial(
             _confinement_kernel_slide, n_t, t, x_rows, dt, weight, dx)
         scratch_shapes = [
-            pltpu.VMEM((2, 2, rows, y_cols), jnp.float32),
+            pltpu.VMEM((2, 2, rows, y_cols), v.dtype),
             pltpu.SemaphoreType.DMA(2),
             pltpu.SemaphoreType.DMA(2),
         ]

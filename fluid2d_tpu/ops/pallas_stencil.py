@@ -63,9 +63,10 @@ _HY = 128  # 2-D tiling lane-halo block columns (one lane tile)
 # block reads), ALL window arithmetic is f32, and each output store
 # rounds once to the out ref's dtype (`_cast_store`) — the same rounding
 # points as the jnp path's phase outputs (models/*.py). The manual-DMA
-# (sliding / DMA-window) variants are f32-only for now: their
-# make_async_copy row slices assume the f32 (8, 128) tiling granularity
-# and are gated by `_dma_ok` pending on-chip bf16 validation.
+# (sliding / DMA-window) variants allocate their VMEM window scratch in
+# the transport dtype and upcast at the same `_k32` read points; their
+# mod-8 row-slice copies are sub-tile offsets under bf16's (16, 128)
+# tiling, which Mosaic handles (scripts/bf16_dma_probe.py, on-chip).
 
 
 def _k32(x):
@@ -92,9 +93,14 @@ class _cast_store:
 
 
 def _dma_ok(*arrays) -> bool:
-    """Whether the manual-DMA fetch variants may run on these operands
-    (all f32 — see the transport-dtype note above)."""
-    return all(a.dtype == jnp.float32 for a in arrays)
+    """Whether the manual-DMA fetch variants may run on these operands:
+    all planes sharing ONE float dtype in {f32, bf16}, so they can stack
+    into a single VMEM window scratch. bf16's (16, 128) tiling makes the
+    row-slice copies start at sub-tile (mod-8) offsets — validated on
+    the real chip by scripts/bf16_dma_probe.py (HBM→VMEM tail @ 8,
+    VMEM→VMEM head @ 8, and the 8-row shifted realign store)."""
+    dts = {a.dtype for a in arrays}
+    return len(dts) == 1 and dts.pop() in (jnp.float32, jnp.bfloat16)
 
 # --- BlockSpec-derived HBM traffic ledger ------------------------------------
 #
@@ -240,6 +246,11 @@ def _ext(cur, prev8, next8, ti, n_t, h: int):
     bf16 blocks are upcast to f32 here (the transport-dtype load point).
     """
     cur, prev8, next8 = _k32(cur), _k32(prev8), _k32(next8)
+    if h == 0:
+        # Zero-row halo slices lower to 0-size vectors Mosaic rejects
+        # (hit by the fused Jacobi kernel at n_iters=1, whose alt/not-
+        # wall windows have halo hh−2 = 0).
+        return cur
     row_ax = cur.ndim - 2
     top = jnp.where(
         ti == 0,
@@ -1269,7 +1280,7 @@ def sor_iteration_pallas(
     # f32 inputs drops from (t+16)/t to ~1.
     if sliding is None:
         sliding = True
-    sliding = (sliding and _dma_ok(p_cur) and y_cols % _HY == 0
+    sliding = (sliding and _dma_ok(p_cur, p_alt, u, w) and y_cols % _HY == 0
                and x_rows >= t + 2 * _HB and n_t >= 2)
 
     i8_specs = (
@@ -1285,7 +1296,7 @@ def sor_iteration_pallas(
         )
         rows = t + 2 * _HB
         scratch_shapes = [
-            pltpu.VMEM((2, 4, rows, y_cols), jnp.float32),
+            pltpu.VMEM((2, 4, rows, y_cols), p_cur.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA(2),
         ]

@@ -11,6 +11,10 @@ second, independently-scheduled witness.
 
 Run ON THE TPU (interpret mode takes hours at any useful grid):
   python scripts/dma_window_check.py [--x 256] [--y 512] [--t 16] [--ty 128]
+With --dtype bfloat16 the same comparison runs under bf16 transport
+(bf16 HBM inputs through the manual-DMA fetches — the on-chip witness
+for VERDICT r4 item #2); tolerance widens to one bf16 ulp because each
+FMA-contraction wobble can flip the store rounding.
 """
 
 from __future__ import annotations
@@ -30,11 +34,16 @@ def main() -> None:
     p.add_argument("--y", type=int, default=512)
     p.add_argument("--t", type=int, default=16)
     p.add_argument("--ty", type=int, default=128)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     import fluid2d_tpu.ops.pallas_phases as ph
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.models.simulator import scene_for_dtype
     from fluid2d_tpu.scenes.compile import compile_scene
     from fluid2d_tpu.scenes.scenes import build_scene_arrays
 
@@ -42,15 +51,21 @@ def main() -> None:
     # res=y then crop rows to x (keeps inflow/outflow columns intact).
     bc_const, mask, bc_dye = build_scene_arrays(2, args.y)
     scene = compile_scene(bc_const[: args.x], mask[: args.x], bc_dye[: args.x])
+    cfg = SimConfig.create(resolution=args.y, scheme="cip", dtype=args.dtype)
+    scene = scene_for_dtype(scene, cfg)
+    dt_np = jnp.dtype(args.dtype)
 
     rng = np.random.default_rng(7)
     shape = (args.x, args.y)
-    f32 = lambda *s: rng.standard_normal(s, dtype=np.float32)  # noqa: E731
+    f32 = lambda *s: jnp.asarray(  # noqa: E731
+        rng.standard_normal(s, dtype=np.float32)).astype(dt_np)
     v, v_alt = f32(2, *shape), f32(2, *shape)
-    vx, vx_alt = f32(2, *shape) * 0.1, f32(2, *shape) * 0.1
-    vy, vy_alt = f32(2, *shape) * 0.1, f32(2, *shape) * 0.1
+    vx, vx_alt = f32(2, *shape) * jnp.asarray(0.1, dt_np), f32(2, *shape) * jnp.asarray(0.1, dt_np)
+    vy, vy_alt = f32(2, *shape) * jnp.asarray(0.1, dt_np), f32(2, *shape) * jnp.asarray(0.1, dt_np)
     pr = f32(*shape)
     re, dt, dx = 1000.0, 0.05 / args.y, 1.0 / args.y
+    # one ulp of the output dtype per |value| (bf16: 2^-8)
+    tol = 1e-6 if args.dtype == "float32" else 2.0**-8
 
     def run(fn, **kw):
         out = jax.jit(lambda *a: fn(*a, re, dt, dx, **kw))(

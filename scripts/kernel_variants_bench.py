@@ -113,7 +113,7 @@ def main() -> None:
                             "cip-dye-win", "cip-vel-win", "cip-dye-slide",
                             "cip-vel-slide", "cip-vel-slide1d", "cip-dye-sub",
                             "cip-vel-tile", "cip-vel-auto-vs-2dslide",
-                            "sor-fuse"])
+                            "sor-fuse", "cip-dye-maskscratch"])
     p.add_argument("--res", type=int, default=1600)
     p.add_argument("--scheme", type=str, default="")
     p.add_argument("--steps", type=int, default=400)
@@ -172,6 +172,24 @@ def main() -> None:
         ph._cip_dye_body = _cip_dye_body_latestore
         report("late-store", lambda: time_full_run(cfg, scene, args.steps))
         ph._cip_dye_body = orig_body
+        return
+
+    if args.variant == "cip-dye-maskscratch":
+        # Hoist the channel-independent int mask window assembly (i8 _ext
+        # + i32 widen) into per-tile VMEM scratch at c == 0 — the dye
+        # kernel is VPU-bound under bf16, and each of the 2 extra channel
+        # programs pays ~8 full-window passes re-deriving masks.
+        import fluid2d_tpu.models.cip as mod
+
+        orig = ph.cip_dye_phase_pallas
+        for rnd in range(2):
+            mod.cip_dye_phase_pallas = orig
+            report(f"per-prog r{rnd}",
+                   lambda: time_full_run(cfg, scene, args.steps))
+            mod.cip_dye_phase_pallas = functools.partial(orig, mask_scratch=True)
+            report(f"scratch r{rnd}",
+                   lambda: time_full_run(cfg, scene, args.steps))
+        mod.cip_dye_phase_pallas = orig
         return
 
     if args.variant == "cip-dye-tile":

