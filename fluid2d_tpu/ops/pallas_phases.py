@@ -69,6 +69,7 @@ from fluid2d_tpu.ops.pallas_stencil import (
     ctx_store,
     log_traffic,
     nine_bytes,
+    pick_tile,
     pick_tile2d,
     triple_bytes,
 )
@@ -528,6 +529,13 @@ def cip_velocity_phase_pallas(
         return 2 * blocks + 38 * t
 
     t = _check_tile(tile_x, x_rows) if tile_x else _vmem_tile(x_rows, y_cols, cost_rows)
+    if (tile_x is None and t is not None and t >= 32
+            and v.dtype == jnp.bfloat16):
+        # bf16 frontier bump (measured round-5, `cip-vel-tile --dtype
+        # bfloat16`): t=80 beats auto(64) 333.1 vs 324.5 and t=128 reads
+        # 332.3 — prefer 1.25× the f32 pick where a valid divisor
+        # exists (80 at Y=1600). Same t ≥ 32 guard as the dye pick.
+        t = pick_tile(x_rows, preferred=t + t // 4) or t
     # channel_grid=None keeps the measured dispatch (folded 1-D, else
     # 2-D); True forces the c-minor layout. Not auto-tried on folded-
     # infeasible grids until it is benchmarked there: feasibility ≠ perf
@@ -1621,7 +1629,7 @@ def cip_dye_phase_pallas(
     re: float, dt: float, dx: float,
     *, tile_x: int | None = None, window_inputs: bool | None = None,
     sliding: bool | None = None, subtiles: int | None = None,
-    mask_scratch: bool = False, interpret: bool = False,
+    mask_scratch: bool | None = None, interpret: bool = False,
 ):
     """Whole CIP dye phase (BC + diffusion + grads + advection + clamp).
 
@@ -1658,6 +1666,15 @@ def cip_dye_phase_pallas(
             dye, dye_alt, dyex, dyex_alt, dyey, dyey_alt, vel, scene, re, dt, dx,
             interpret=interpret,
         )
+    if tile_x is None and dye.dtype == jnp.bfloat16 and t >= 32:
+        # bf16 transport halves every block buffer, moving the Mosaic
+        # frontier past the f32-calibrated pick: t=160 compiles AND wins
+        # at Y=1600 (305.1 vs auto(80) 295.2 same-window A/B, round-5
+        # `cip-dye-tile --tiles 160 --dtype bfloat16`). Prefer 2× the
+        # f32 pick where a valid divisor exists; the t ≥ 32 guard keeps
+        # VMEM-starved geometries (where doubling is unmeasured) on the
+        # f32-calibrated pick.
+        t = pick_tile(x_rows, preferred=2 * t) or t
     n_t = x_rows // t
 
     # Sliding-window fetch (manual DMAs: needs a 128-aligned lane width
@@ -1739,6 +1756,13 @@ def cip_dye_phase_pallas(
         kernel = functools.partial(_cip_dye_kernel, n_t, re, dt, dx)
     out_sd = jax.ShapeDtypeStruct(dye.shape, dye.dtype)
 
+    if mask_scratch is None:
+        # Measured (round-5 `cip-dye-maskscratch` A/Bs): hoisting the
+        # int mask assembly to per-tile scratch wins under bf16 (the
+        # kernel is VPU-bound there: +1.3-6% interleaved) and LOSES
+        # under f32 (−4-9%: the kernel hides VPU work under DMA, and
+        # the scratch round-trips serialize against the pipeline).
+        mask_scratch = dye.dtype == jnp.bfloat16
     scratch = [pltpu.VMEM((10, t, y_cols), jnp.float32)]
     if mask_scratch and not window_inputs:
         scratch.append(pltpu.VMEM((2, t + 6, y_cols), jnp.int32))

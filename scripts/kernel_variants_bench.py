@@ -183,7 +183,7 @@ def main() -> None:
 
         orig = ph.cip_dye_phase_pallas
         for rnd in range(2):
-            mod.cip_dye_phase_pallas = orig
+            mod.cip_dye_phase_pallas = functools.partial(orig, mask_scratch=False)
             report(f"per-prog r{rnd}",
                    lambda: time_full_run(cfg, scene, args.steps))
             mod.cip_dye_phase_pallas = functools.partial(orig, mask_scratch=True)
