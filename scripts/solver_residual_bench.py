@@ -24,11 +24,15 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 
 from fluid2d_tpu.config import SimConfig
 from fluid2d_tpu.models.simulator import make_run_fn, scene_for_dtype
@@ -80,6 +84,11 @@ def run_one(res, solver, n_iter, settle, probe, steps, bc=2):
 
 
 if __name__ == "__main__":
+    from fluid2d_tpu.utils.cache import enable_compile_cache
+    from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+    raise_scoped_vmem()
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1600)
     ap.add_argument("--iters", type=str, default="1,2,3,4,6")
