@@ -534,8 +534,12 @@ def cip_velocity_phase_pallas(
         # bf16 frontier bump (measured round-5, `cip-vel-tile --dtype
         # bfloat16`): t=80 beats auto(64) 333.1 vs 324.5 and t=128 reads
         # 332.3 — prefer 1.25× the f32 pick where a valid divisor
-        # exists (80 at Y=1600). Same t ≥ 32 guard as the dye pick.
-        t = pick_tile(x_rows, preferred=t + t // 4) or t
+        # exists (80 at Y=1600). Same t ≥ 32 and ≥48 MiB arena guards
+        # as the dye pick (measured only at the raised limit).
+        from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
+
+        if scoped_vmem_bytes() >= 48 * 2**20:
+            t = pick_tile(x_rows, preferred=t + t // 4) or t
     # channel_grid=None keeps the measured dispatch (folded 1-D, else
     # 2-D); True forces the c-minor layout. Not auto-tried on folded-
     # infeasible grids until it is benchmarked there: feasibility ≠ perf
@@ -1673,8 +1677,13 @@ def cip_dye_phase_pallas(
         # `cip-dye-tile --tiles 160 --dtype bfloat16`). Prefer 2× the
         # f32 pick where a valid divisor exists; the t ≥ 32 guard keeps
         # VMEM-starved geometries (where doubling is unmeasured) on the
-        # f32-calibrated pick.
-        t = pick_tile(x_rows, preferred=2 * t) or t
+        # f32-calibrated pick, and the arena guard keeps processes at
+        # the 16 MiB default limit (where t=160's kernel OOMs at 22 MB
+        # of Mosaic stack) on the budget the cost model enforced.
+        from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
+
+        if scoped_vmem_bytes() >= 48 * 2**20:
+            t = pick_tile(x_rows, preferred=2 * t) or t
     n_t = x_rows // t
 
     # Sliding-window fetch (manual DMAs: needs a 128-aligned lane width

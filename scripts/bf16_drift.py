@@ -54,6 +54,12 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from fluid2d_tpu.utils.cache import enable_compile_cache
+        from fluid2d_tpu.utils.tpu_flags import raise_scoped_vmem
+
+        raise_scoped_vmem()
+        enable_compile_cache()
 
     from fluid2d_tpu.config import SimConfig
     from fluid2d_tpu.models.simulator import make_run_fn, scene_for_dtype
