@@ -1705,6 +1705,11 @@ def cip_dye_phase_pallas(
         # ≥53 MB arena beat t=16 41.4 vs 40.7 (docs/BENCH.md).
         from fluid2d_tpu.utils.tpu_flags import scoped_vmem_bytes
 
+        # bf16 halves the slide window scratch and t=64 COMPILES there
+        # (f32 t=64 OOMs) — but measured 4 same-window A/Bs split by
+        # window health: t=64 "won" only in degraded windows (+2/+5%)
+        # and lost in healthy ones (41.9 vs 42.4, 44.6 vs 45.5), so the
+        # cap stays 32 for both dtypes (docs/BENCH.md round-5 row).
         t_cap = 32 if scoped_vmem_bytes() >= 53 * 2**20 else 16
         ts = t if tile_x else min(t, t_cap)
         return _cip_dye_phase_slide(
