@@ -66,7 +66,8 @@ def time_step_on(cfg, scene_slab, steps: int) -> float:
 
     state = init_state(scene_slab, cfg)
     state = jax.tree.map(
-        lambda a: a if a is None or a.ndim < 2 else a + jnp.float32(0), state
+        lambda a: a if a is None or a.ndim < 2 else a + jnp.zeros((), a.dtype),
+        state,
     )
     out = run(state)
     float(np.asarray(out.v[0, 0, 0]))
@@ -156,6 +157,10 @@ def main() -> None:
     parser.add_argument("--ici-GBps", type=float, nargs=3, default=[45.0, 90.0, 180.0],
                         metavar=("LOW", "MID", "HIGH"),
                         help="assumed per-direction ICI bandwidth band (GB/s)")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="transport dtype: bf16 halves BOTH the slab "
+                             "step's HBM bytes and the exchange volume")
     args = parser.parse_args()
 
     if args.window_build:
@@ -176,11 +181,13 @@ def main() -> None:
     from fluid2d_tpu.state import SimState, init_state
 
     cfg = SimConfig.create(resolution=args.res, re=1e6, scheme="cip",
-                           vor_eps=5.0, enable_dye=True)
+                           vor_eps=5.0, enable_dye=True, dtype=args.dtype)
     h = ghost_width(cfg)
     x_rows = 2 * args.res
     x_loc = x_rows // args.devices
-    scene = get_scene(3, args.res)  # BASELINE config #5's obstacle sweep
+    from fluid2d_tpu.models.simulator import scene_for_dtype
+
+    scene = scene_for_dtype(get_scene(3, args.res), cfg)  # BASELINE #5 sweep
 
     t_plain = time_step_on(cfg, slice_rows(scene, x_loc), args.steps)
     t_ext = time_step_on(cfg, slice_rows(scene, x_loc + 2 * h), args.steps)
@@ -195,7 +202,8 @@ def main() -> None:
         for name, leaf in zip(SimState._fields, state)
         if leaf is not None and getattr(leaf, "ndim", 0) >= 2
     )
-    exch_bytes = 2 * h * args.res * 4 * channels  # h rows, both directions
+    itemsize = 2 if args.dtype == "bfloat16" else 4
+    exch_bytes = 2 * h * args.res * itemsize * channels  # h rows, both dirs
 
     low, mid, high = args.ici_GBps
     proj = {}
