@@ -2137,7 +2137,7 @@ def mac_velocity_phase_pallas(
         kernel = functools.partial(
             _mac_velocity_kernel_slide, n_t, t, x_rows, scheme, re, dt, dx)
         scratch_shapes = [
-            pltpu.VMEM((2, 5, rows, y_cols), jnp.float32),
+            pltpu.VMEM((2, 5, rows, y_cols), v.dtype),
             pltpu.SemaphoreType.DMA((2, 5)),
             pltpu.SemaphoreType.DMA(2),
         ]
@@ -2365,7 +2365,7 @@ def mac_dye_phase_pallas(
             out_specs=[_center_spec(t, y_cols, chans)] * 2,
             out_shape=[out_sd] * 2,
             scratch_shapes=[
-                pltpu.VMEM((2, 2 * chans, rows, y_cols), jnp.float32),
+                pltpu.VMEM((2, 2 * chans, rows, y_cols), dye.dtype),
                 pltpu.SemaphoreType.DMA((2, 2 * chans)),
                 pltpu.SemaphoreType.DMA(2),
             ],

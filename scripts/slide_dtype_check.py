@@ -106,6 +106,23 @@ def main() -> None:
     cmp("confinement", runc(sliding=False, tile_x=args.tile),
         runc(sliding=True, tile_x=args.tile))
 
+    from fluid2d_tpu.ops.pallas_phases import (
+        mac_dye_phase_pallas,
+        mac_velocity_phase_pallas,
+    )
+
+    runm = lambda **kw: jax.jit(  # noqa: E731
+        lambda *a: mac_velocity_phase_pallas(*a, "kk", re, dt, dx, **kw)
+    )(v, pr, va, scene)
+    cmp("mac_velocity(kk)", runm(sliding=False, tile_x=args.tile),
+        runm(sliding=True, tile_x=args.tile))
+
+    runmd = lambda **kw: jax.jit(  # noqa: E731
+        lambda *a: mac_dye_phase_pallas(*a, "kk", dt, dx, **kw)
+    )(dye, da, v, scene)
+    cmp("mac_dye(kk)", runmd(sliding=False, tile_x=args.tile),
+        runmd(sliding=True, tile_x=args.tile))
+
     print(f"1-D sliding kernels OK on ({args.x}, {args.y}) "
           f"tile={args.tile} dtype={args.dtype}")
 

@@ -266,6 +266,42 @@ def test_bf16_sliding_kernels_match_blockspec():
     _assert_bf16_ulp(a[1], b[1], "conf_va")
 
 
+def test_bf16_mac_sliding_kernels_match_blockspec():
+    """MAC velocity/dye slide kernels under bf16 (their window scratches
+    were the last hardcoded-f32 DMA targets — round-5 fix): slide vs
+    triples to ≤1 bf16 ulp, same bound as the CIP test above."""
+    from fluid2d_tpu.ops.pallas_phases import (
+        mac_dye_phase_pallas,
+        mac_velocity_phase_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    res = 128
+    cfg = SimConfig.create(resolution=res, scheme="kk", enable_dye=True,
+                           dtype="bfloat16")
+    scene = scene_for_dtype(get_scene(2, res), cfg)
+    shp = (2 * res, res)
+    v, va = _bf(rng, 2, *shp, scale=0.5), _bf(rng, 2, *shp, scale=0.5)
+    p = _bf(rng, *shp, scale=0.3)
+    dye, da = _bf(rng, 3, *shp), _bf(rng, 3, *shp)
+
+    a = mac_velocity_phase_pallas(v, p, va, scene, "kk", 1000.0,
+                                  cfg.dt, cfg.dx, tile_x=8,
+                                  sliding=False, interpret=True)
+    b = mac_velocity_phase_pallas(v, p, va, scene, "kk", 1000.0,
+                                  cfg.dt, cfg.dx, tile_x=8,
+                                  sliding=True, interpret=True)
+    for n, x, y in zip(("v", "vbc"), a, b):
+        _assert_bf16_ulp(x, y, f"mac_vel/{n}")
+
+    c = mac_dye_phase_pallas(dye, da, v, scene, "kk", cfg.dt, cfg.dx,
+                             tile_x=8, sliding=False, interpret=True)
+    d = mac_dye_phase_pallas(dye, da, v, scene, "kk", cfg.dt, cfg.dx,
+                             tile_x=8, sliding=True, interpret=True)
+    for n, x, y in zip(("dye", "dbc"), c, d):
+        _assert_bf16_ulp(x, y, f"mac_dye/{n}")
+
+
 def test_bf16_velocity_2d_slide_matches_9block():
     """bf16 through the row-sliding 2-D velocity kernel (the res=4096
     winner) vs the 9-block BlockSpec kernel — bitwise, same grid/tile
