@@ -90,14 +90,17 @@ _PRESETS = {
 }
 
 
-def run_preset(n: int) -> dict:
+def run_preset(n: int, dtype: str = "float32") -> dict:
     import numpy as np
 
     p = _PRESETS[n]
-    rate, state = bench_config(steps=p["steps"], **p["kw"])
-    finite = bool(np.isfinite(np.asarray(state.v)).all())
+    rate, state = bench_config(steps=p["steps"], dtype=dtype, **p["kw"])
+    finite = bool(np.isfinite(np.asarray(state.v, np.float32)).all())
+    metric = f"baseline_config_{n}"
+    if dtype != "float32":
+        metric += f"_{dtype}"
     return {
-        "metric": f"baseline_config_{n}",
+        "metric": metric,
         "desc": p["desc"],
         "value": round(rate, 2) if finite else 0.0,
         "unit": "steps/s",
@@ -124,9 +127,9 @@ def main() -> None:
 
     if args.config:
         nums = sorted(_PRESETS) if args.config == "all" else [int(args.config)]
-        rows = [run_preset(n) for n in nums]
-        for r in rows:
-            print(f"# config {r['metric'][-1]}: {r['value']:9.1f} steps/s "
+        rows = [run_preset(n, args.dtype) for n in nums]
+        for r, n in zip(rows, nums):
+            print(f"# config {n}: {r['value']:9.1f} steps/s "
                   f"stable={r['stable']}  ({r['desc']})", file=sys.stderr)
         print(json.dumps(rows if len(rows) > 1 else rows[0]))
         return
